@@ -1,0 +1,131 @@
+"""Public differentiable rendering entry point.
+
+Equivalent surface to the reference's `GaussianRasterizer.__call__`
+(`diff_gaussian_rasterization/__init__.py:171-224`): takes Gaussian parameters
++ camera, returns the composited image, per-Gaussian screen radii, and the
+alpha/transmittance map. Backend selection:
+
+  "xla"    — pure-JAX chunked scan (runs anywhere, autodiff backward).
+  "pallas" — Pallas TPU kernels with hand-written backward (custom_vjp).
+  "auto"   — pallas on TPU, xla elsewhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from youreditableavatar_tpu.ops.gaussian_raster.binning import bin_gaussians
+from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import (
+    assemble_image,
+    composite_tiles_xla,
+    gather_pair_data,
+)
+from youreditableavatar_tpu.ops.gaussian_raster.preprocess import (
+    preprocess_gaussians,
+)
+from youreditableavatar_tpu.ops.gaussian_raster.types import RasterCamera
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    """Static rasterizer configuration (all fields shape-affecting)."""
+
+    tile_size: int = 32  # pixel tile edge; 32×32 = 1024 px = 8×128 f32 VMEM tile
+    pair_budget: int = 1 << 19  # max (gaussian, tile) duplicated pairs
+    tile_capacity: int = 2048  # max depth-sorted pairs composited per tile
+    chunk: int = 32  # gaussians per scan step (xla backend)
+    sh_degree: int = 3
+    scale_mod: float = 1.0
+    backend: str = "auto"
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def render_gaussians(
+    means3d: Array,
+    scales: Array,
+    quats: Array,
+    opacities: Array,
+    sh: Optional[Array],
+    camera: RasterCamera,
+    cfg: RasterizeConfig = RasterizeConfig(),
+    bg: Optional[Array] = None,
+    colors_override: Optional[Array] = None,
+) -> Dict[str, Array]:
+    """Differentiably render N Gaussians to an image.
+
+    Args:
+      means3d: (N, 3); scales: (N, 3); quats: (N, 4) wxyz;
+      opacities: (N,) in [0, 1]; sh: (N, K, 3) SH coefficients (or None with
+      colors_override); camera: pinhole camera; bg: (3,) background color.
+      colors_override: (N, 3) precomputed colors (bypasses SH).
+
+    Returns dict with:
+      image: (H, W, 3); alpha: (H, W) = 1 − final transmittance;
+      final_t: (H, W); radii: (N,) int32; num_pairs: () int32 diagnostic.
+    """
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+    bg = jnp.asarray(bg, jnp.float32)
+
+    ts = cfg.tile_size
+    ntx = -(-camera.width // ts)
+    nty = -(-camera.height // ts)
+
+    proj = preprocess_gaussians(
+        means3d, scales, quats, opacities,
+        sh if sh is not None else jnp.zeros((means3d.shape[0], 1, 3)),
+        camera, cfg.sh_degree, ts, cfg.scale_mod, colors_override,
+    )
+
+    binning = bin_gaussians(proj, ntx, nty, cfg.pair_budget)
+    # Binning is index bookkeeping — no gradients flow through it.
+    binning = jax.tree_util.tree_map(jax.lax.stop_gradient, binning)
+
+    pair_data = gather_pair_data(
+        proj.mean2d, proj.conic, proj.color, proj.opacity,
+        binning.pair_gauss, binning.tile_start,
+        jnp.minimum(binning.tile_count, cfg.tile_capacity),
+        cfg.tile_capacity,
+    )
+
+    backend = _resolve_backend(cfg.backend)
+    if backend == "xla":
+        rgb_tiles, t_tiles = composite_tiles_xla(
+            pair_data, ntx, nty, ts, cfg.chunk
+        )
+    elif backend == "pallas":
+        from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
+            composite_tiles_pallas,
+        )
+
+        rgb_tiles, t_tiles = composite_tiles_pallas(
+            pair_data,
+            jnp.minimum(binning.tile_count, cfg.tile_capacity),
+            ntx, nty, ts,
+        )
+    else:
+        raise ValueError(f"unknown rasterizer backend {backend!r}")
+
+    rgb, final_t = assemble_image(
+        rgb_tiles, t_tiles, ntx, nty, ts, camera.width, camera.height
+    )
+    image = rgb + final_t[..., None] * bg
+    return {
+        "image": image,
+        "alpha": 1.0 - final_t,
+        "final_t": final_t,
+        "radii": proj.radius,
+        "mean2d": proj.mean2d,
+        "depth": proj.depth,
+        "num_pairs": binning.num_pairs,
+    }

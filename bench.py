@@ -1,0 +1,109 @@
+"""Benchmark: differentiable Gaussian-splat render fwd+bwd at 512² on TPU.
+
+Measures rays/s (pixels/s) through a full forward + backward of the Pallas
+rasterizer on a synthetic 100k-Gaussian scene at 512×512 — the BASELINE.json
+headline config. Prints ONE JSON line.
+
+Baseline note: the reference repo publishes no numbers (BASELINE.md). The
+target is "≥2× A6000 throughput per chip". We pin the A6000 reference for
+diff-gaussian-rasterization fwd+bwd at 512²/100k Gaussians at ~100 it/s
+(≈ 2.62e7 rays/s, consistent with published 3DGS training-iteration rates on
+A6000-class parts); vs_baseline = measured / (2 × 2.62e7), so vs_baseline ≥ 1.0
+means the 2×-A6000 target is met.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from youreditableavatar_tpu.ops.gaussian_raster import (
+    RasterCamera,
+    RasterizeConfig,
+    render_gaussians,
+)
+
+A6000_RAYS_PER_S = 2.62e7
+TARGET = 2.0 * A6000_RAYS_PER_S
+
+WIDTH = HEIGHT = 512
+N = 100_000
+ITERS = 20
+
+
+def make_scene(seed=0):
+    rng = np.random.default_rng(seed)
+    # Gaussians on a noisy sphere shell (surface-like, as TetGS binds them).
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    means = d * (0.8 + 0.05 * rng.normal(size=(N, 1)).astype(np.float32))
+    scales = rng.uniform(0.004, 0.012, (N, 3)).astype(np.float32)
+    quats = rng.normal(size=(N, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.95, N).astype(np.float32)
+    sh = np.zeros((N, 16, 3), np.float32)
+    sh[:, 0] = rng.uniform(-1, 1, (N, 3))
+    vm = np.eye(4, dtype=np.float32)
+    vm[2, 3] = 2.5
+    cam = RasterCamera.from_fov(vm, 0.9, 0.9, WIDTH, HEIGHT)
+    return (
+        jnp.asarray(means),
+        jnp.asarray(scales),
+        jnp.asarray(quats),
+        jnp.asarray(opac),
+        jnp.asarray(sh),
+        cam,
+    )
+
+
+def main():
+    on_tpu = jax.default_backend() != "cpu"
+    cfg = RasterizeConfig(
+        backend="pallas" if on_tpu else "xla",
+        pair_budget=1 << 18,  # scene produces ~200k pairs; O(P) passes scale
+        tile_capacity=8192 if on_tpu else 2048,
+        sh_degree=3,
+    )
+    means, scales, quats, opac, sh, cam = make_scene()
+    bg = jnp.zeros(3)
+
+    def loss(m, s, q, o, shc):
+        out = render_gaussians(m, s, q, o, shc, cam, cfg, bg)
+        return jnp.mean(out["image"] ** 2), out["num_pairs"]
+
+    step = jax.jit(jax.grad(lambda *a: loss(*a)[0], argnums=(0, 1, 2, 3, 4)))
+    np_pairs = int(jax.jit(lambda *a: loss(*a)[1])(means, scales, quats, opac, sh))
+
+    # Warmup / compile.
+    g = step(means, scales, quats, opac, sh)
+    jax.block_until_ready(g)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        g = step(means, scales, quats, opac, sh)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    rays_per_s = WIDTH * HEIGHT / dt
+    print(
+        json.dumps(
+            {
+                "metric": "render_fwd_bwd_rays_per_s_512",
+                "value": rays_per_s,
+                "unit": "rays/s",
+                "vs_baseline": rays_per_s / TARGET,
+                "detail": {
+                    "iter_ms": dt * 1e3,
+                    "num_gaussians": N,
+                    "num_pairs": np_pairs,
+                    "backend": cfg.backend,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

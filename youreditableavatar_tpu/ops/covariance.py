@@ -4,21 +4,27 @@ Capability parity with the CUDA preprocess math (semantics transcribed from
 `cuda_rasterizer/forward.cu:74-160`): ``computeCov3D`` (scale+rotation →
 symmetric 3×3) and ``computeCov2D`` (view transform, frustum-limited Jacobian,
 EWA splat + 0.3 px low-pass), plus the conic inverse and the 3σ screen radius
-used for tile binning. All functions are vectorized over N Gaussians and
-fp32 — matching the reference's fp32 rasterizer design point.
+used for tile binning.
+
+All functions are vectorized over N Gaussians, fp32, and written in fully
+expanded element-wise form: on TPU, batched (N, 3, 3) einsums lower to loops
+or bf16 MXU passes, while the expanded scalar algebra fuses into a handful of
+full-width VPU ops — and is exactly how the CUDA kernel computes it, so
+numerics match the reference bit-for-bit up to fma reassociation.
 """
 
 from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
-from youreditableavatar_tpu.ops.quaternion import quat_to_matrix
+from youreditableavatar_tpu.ops.quaternion import quat_normalize
 
 # Screen-space low-pass filter added to the 2D covariance diagonal (pixels^2),
-# and the dilation the reference applies with it (forward.cu:110-112).
+# per the reference design point (forward.cu:110-112).
 COV2D_BLUR = 0.3
 
 
@@ -31,21 +37,29 @@ def build_cov3d(scales: Array, quats: Array, scale_mod: float = 1.0) -> Array:
     Returns:
       (N, 6) symmetric covariance entries.
     """
-    R = quat_to_matrix(quats)  # (N, 3, 3)
+    q = quat_normalize(quats)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+
     s = scales * scale_mod
-    M = R * s[..., None, :]  # columns scaled: M = R @ diag(s)
-    cov = M @ jnp.swapaxes(M, -1, -2)  # (N, 3, 3)
-    return jnp.stack(
-        [
-            cov[..., 0, 0],
-            cov[..., 0, 1],
-            cov[..., 0, 2],
-            cov[..., 1, 1],
-            cov[..., 1, 2],
-            cov[..., 2, 2],
-        ],
-        axis=-1,
-    )
+    s0, s1, s2 = s[..., 0] ** 2, s[..., 1] ** 2, s[..., 2] ** 2
+
+    # cov_ij = Σ_k R_ik s_k² R_jk
+    xx = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    xy = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    xz = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    yy = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    yz = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    zz = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return jnp.stack([xx, xy, xz, yy, yz, zz], axis=-1)
 
 
 def cov3d_to_matrix(cov6: Array) -> Array:
@@ -56,6 +70,16 @@ def cov3d_to_matrix(cov6: Array) -> Array:
         jnp.stack([xz, yz, zz], axis=-1),
     ]
     return jnp.stack(rows, axis=-2)
+
+
+def view_transform_points(means: Array, viewmat: Array) -> Array:
+    """p_cam = W p + t, expanded (W entries are scalars → fused VPU ops)."""
+    w = viewmat
+    mx, my, mz = means[..., 0], means[..., 1], means[..., 2]
+    tx = w[0, 0] * mx + w[0, 1] * my + w[0, 2] * mz + w[0, 3]
+    ty = w[1, 0] * mx + w[1, 1] * my + w[1, 2] * mz + w[1, 3]
+    tz = w[2, 0] * mx + w[2, 1] * my + w[2, 2] * mz + w[2, 3]
+    return jnp.stack([tx, ty, tz], axis=-1)
 
 
 def project_cov2d(
@@ -70,47 +94,50 @@ def project_cov2d(
     Args:
       means: (N, 3) world-space centers.
       cov6: (N, 6) symmetric 3D covariance entries.
-      viewmat: (4, 4) world→camera matrix (row-vector-free convention: p_cam =
-        viewmat[:3,:3] @ p + viewmat[:3,3]).
+      viewmat: (4, 4) world→camera matrix.
       focal: (fx, fy) focal lengths in pixels.
       tan_fov: (tan_fovx, tan_fovy) half-FoV tangents (for the frustum clamp).
     Returns:
       (N, 3) upper-triangular 2D covariance entries (a, b, c) with the
       screen-space low-pass blur added to the diagonal.
     """
-    W = viewmat[:3, :3]
-    t = means @ W.T + viewmat[:3, 3]  # (N, 3) camera-space centers
+    t = view_transform_points(means, viewmat)
     fx, fy = focal
     tanx, tany = tan_fov
 
     # Clamp the ray to 1.3× the frustum to bound the Jacobian (forward.cu:86-92).
     tz = t[..., 2]
-    limx = 1.3 * tanx
-    limy = 1.3 * tany
-    txtz = jnp.clip(t[..., 0] / tz, -limx, limx)
-    tytz = jnp.clip(t[..., 1] / tz, -limy, limy)
-    tx = txtz * tz
-    ty = tytz * tz
+    txc = jnp.clip(t[..., 0] / tz, -1.3 * tanx, 1.3 * tanx) * tz
+    tyc = jnp.clip(t[..., 1] / tz, -1.3 * tany, 1.3 * tany) * tz
 
-    # Perspective Jacobian (rows of the 2×3 J).
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z2], axis=-1),
-            jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
 
-    V = cov3d_to_matrix(cov6)  # (N, 3, 3)
-    JW = J @ W  # (N, 2, 3)
-    cov2d = JW @ V @ jnp.swapaxes(JW, -1, -2)  # (N, 2, 2)
+    # Rows of JW, expanded: J = [[fx/z, 0, −fx·tx/z²], [0, fy/z, −fy·ty/z²]].
+    w = viewmat
+    j00, j02 = fx * inv_z, -fx * txc * inv_z2
+    j11, j12 = fy * inv_z, -fy * tyc * inv_z2
+    u0 = j00 * w[0, 0] + j02 * w[2, 0]
+    u1 = j00 * w[0, 1] + j02 * w[2, 1]
+    u2 = j00 * w[0, 2] + j02 * w[2, 2]
+    v0 = j11 * w[1, 0] + j12 * w[2, 0]
+    v1 = j11 * w[1, 1] + j12 * w[2, 1]
+    v2 = j11 * w[1, 2] + j12 * w[2, 2]
 
-    a = cov2d[..., 0, 0] + COV2D_BLUR
-    b = cov2d[..., 0, 1]
-    c = cov2d[..., 1, 1] + COV2D_BLUR
+    xx, xy, xz = cov6[..., 0], cov6[..., 1], cov6[..., 2]
+    yy, yz, zz = cov6[..., 3], cov6[..., 4], cov6[..., 5]
+
+    # V u and V v (V symmetric), then the quadratic forms.
+    vu0 = xx * u0 + xy * u1 + xz * u2
+    vu1 = xy * u0 + yy * u1 + yz * u2
+    vu2 = xz * u0 + yz * u1 + zz * u2
+    vv0 = xx * v0 + xy * v1 + xz * v2
+    vv1 = xy * v0 + yy * v1 + yz * v2
+    vv2 = xz * v0 + yz * v1 + zz * v2
+
+    a = u0 * vu0 + u1 * vu1 + u2 * vu2 + COV2D_BLUR
+    b = v0 * vu0 + v1 * vu1 + v2 * vu2
+    c = v0 * vv0 + v1 * vv1 + v2 * vv2 + COV2D_BLUR
     return jnp.stack([a, b, c], axis=-1)
 
 

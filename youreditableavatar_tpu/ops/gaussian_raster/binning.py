@@ -27,6 +27,7 @@ from youreditableavatar_tpu.ops.gaussian_raster.types import (
     GaussiansProjected,
     TileBinning,
 )
+from youreditableavatar_tpu.ops.segments import range_owner
 
 
 def bin_gaussians(
@@ -35,35 +36,48 @@ def bin_gaussians(
     num_tiles_y: int,
     pair_budget: int,
 ) -> TileBinning:
-    """Build depth-sorted per-tile pair lists with a static pair budget."""
+    """Build depth-sorted per-tile pair lists with a static pair budget.
+
+    Sort strategy (replaces the CUDA 64-bit (tileID‖depth) radix sort with two
+    cheaper passes): (1) depth-argsort the N gaussians once; (2) expand pairs
+    in depth order, then a *stable* single-key sort by tile id — stability
+    preserves the depth order within each tile, so the result is exactly
+    (tile, depth, gaussian-depth-rank) ordered at ~half the key width.
+    """
     n = proj.depth.shape[0]
     num_tiles = num_tiles_x * num_tiles_y
     sentinel = num_tiles
 
-    counts = proj.tiles_touched.astype(jnp.int32)  # (N,)
-    cum = jnp.cumsum(counts)  # inclusive
-    total = cum[-1]
-    offsets = cum - counts  # exclusive prefix
+    # (1) Depth order over gaussians (invalid ones have tiles_touched == 0 and
+    # drop out of the expansion regardless of their position).
+    _, order = jax.lax.sort(
+        (proj.depth, jnp.arange(n, dtype=jnp.int32)), num_keys=2
+    )
 
-    # Pair slot p ∈ [0, P) belongs to gaussian g(p) = first g with cum[g] > p.
+    counts = proj.tiles_touched[order].astype(jnp.int32)  # (N,) depth-ordered
+    total = jnp.sum(counts)
+
+    # Pair slot p ∈ [0, P) belongs to depth-rank d(p) — the gaussian whose
+    # range contains p (scatter+cummax; see ops.segments).
+    d_safe, local, valid = range_owner(counts, pair_budget)
     slots = jnp.arange(pair_budget, dtype=jnp.int32)
-    g = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
-    valid = (slots < total) & (g < n)
-    g_safe = jnp.clip(g, 0, n - 1)
+    g_safe = order[d_safe]  # original gaussian index
 
     # Offset of the slot inside its gaussian's tile rectangle (row-major).
-    local = slots - offsets[g_safe]
+    # Integer div/mod lower poorly on TPU; rect widths < 2^24 so the f32
+    # reciprocal path is exact.
     rect_w = jnp.maximum(proj.rect_max[g_safe, 0] - proj.rect_min[g_safe, 0], 1)
-    tx = proj.rect_min[g_safe, 0] + local % rect_w
-    ty = proj.rect_min[g_safe, 1] + local // rect_w
+    row = jnp.floor(
+        local.astype(jnp.float32) / rect_w.astype(jnp.float32)
+    ).astype(jnp.int32)
+    tx = proj.rect_min[g_safe, 0] + local - row * rect_w
+    ty = proj.rect_min[g_safe, 1] + row
     tile = ty * num_tiles_x + tx
     tile = jnp.where(valid, tile, sentinel).astype(jnp.int32)
 
-    depth = jnp.where(valid, proj.depth[g_safe], jnp.inf).astype(jnp.float32)
-
-    # Lexicographic sort by (tile, depth, gaussian) — deterministic.
-    tile_s, _, gauss_s = jax.lax.sort(
-        (tile, depth, g_safe.astype(jnp.int32)), num_keys=3
+    # (2) Stable tile sort keeps depth order within each tile.
+    tile_s, gauss_s = jax.lax.sort(
+        (tile, g_safe.astype(jnp.int32)), num_keys=1, is_stable=True
     )
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -77,3 +91,49 @@ def bin_gaussians(
         tile_count=tile_end - tile_start,
         num_pairs=total,
     )
+
+
+def pad_tile_ranges(
+    binning: TileBinning, chunk: int, padded_size: int
+) -> tuple[Array, Array, Array]:
+    """Re-lay the sorted pair list so every tile's range starts chunk-aligned.
+
+    The Pallas kernels DMA fixed `chunk`-pair blocks and (in backward) write
+    gradient blocks back; aligning each tile's range to a chunk boundary makes
+    those blocks tile-exclusive (no write overlap between adjacent tiles) at
+    the cost of < chunk padding slots per tile.
+
+    Returns:
+      padded_gauss: (padded_size,) int32 gaussian index per padded slot
+        (0 where padding — callers mask).
+      padded_valid: (padded_size,) bool.
+      aligned_start: (T,) int32 chunk-aligned start of each tile's range in
+        the padded array (counts are unchanged: binning.tile_count).
+    """
+    counts = binning.tile_count
+    aligned = ((counts + chunk - 1) // chunk) * chunk
+    aligned_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned)[:-1].astype(jnp.int32)]
+    )
+    num_tiles = counts.shape[0]
+
+    slots = jnp.arange(padded_size, dtype=jnp.int32)
+    # Which tile owns padded slot p: last tile with aligned_start <= p —
+    # scatter tile rank at each aligned start + running max (see
+    # bin_gaussians for why not searchsorted). Aligned starts are unique
+    # per occupied tile except empty tiles, which share a start with their
+    # successor; scatter-max keeps the latest tile, matching "last with
+    # start <= p".
+    tgt = jnp.minimum(aligned_start, padded_size)
+    marks = jnp.zeros((padded_size + 1,), jnp.int32).at[tgt].max(
+        jnp.arange(num_tiles, dtype=jnp.int32)
+    )
+    t = jax.lax.cummax(marks[:padded_size])
+    t = jnp.clip(t, 0, num_tiles - 1)
+    local = slots - aligned_start[t]
+    valid = local < counts[t]
+    src = jnp.clip(
+        binning.tile_start[t] + local, 0, binning.pair_gauss.shape[0] - 1
+    )
+    gauss = jnp.where(valid, binning.pair_gauss[src], 0)
+    return gauss, valid, aligned_start

@@ -1,0 +1,435 @@
+"""Pallas TPU compositing kernels (forward + analytic backward, custom_vjp).
+
+TPU-native re-design of `renderCUDA` (`forward.cu:261-374`) and its backward
+(`backward.cu:400-641`). Design points:
+
+  * 32×32-pixel tiles: each tile's pixel state is exactly one (8, 128) fp32
+    VMEM tile (flat pixel p → x = p % 32, y = p // 32), so every per-Gaussian
+    update is a handful of full-width VPU ops.
+  * Pair-major data layout: the depth-sorted (gaussian, tile) pair list is
+    materialized once as a (16, P_pad) field matrix (field rows = mean_x,
+    mean_y, conic_a/b/c, opacity, r, g, b, 0…; pair columns), with every
+    tile's range chunk-aligned (`pad_tile_ranges`) so 128-pair column blocks
+    slice on lane boundaries. The kernel DMAs (16, 128) blocks into
+    double-buffered SMEM and reads per-Gaussian scalars from SMEM
+    (dynamic scalar indexing into VMEM does not compile on this target — SMEM
+    scalar reads are the supported pattern and what the scalar unit wants).
+  * Early termination: the sequential per-pixel `done` flag of the CUDA loop
+    is carried as a vector mask; a whole tile exits its chunk loop when every
+    pixel is done (replaces the CUDA per-thread `__syncthreads_count` vote).
+  * Backward is a second forward-order sweep (no reverse iteration): with the
+    saved output color C and final transmittance T_final, the suffix sum the
+    CUDA backward accumulates back-to-front is S_i = C − P_i for a running
+    prefix P. Per-pair gradient rows are DMA'd back to HBM (tile-exclusive
+    blocks — no atomics) and scatter-added onto Gaussians by the VJP of the
+    pair row-gather (replacing CUDA atomicAdd).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import (
+    ALPHA_CLAMP,
+    ALPHA_MIN,
+    NUM_FIELDS,
+    T_EPS,
+)
+
+CHUNK = 128  # pairs per SMEM chunk
+SUB, LANE = 8, 128  # pixel vector register shape; SUB*LANE = tile_size**2
+
+
+def _pixel_coords(tile_id, num_tiles_x: int, tile_size: int):
+    """Screen coordinates of this tile's pixels as (8, 128) f32 vectors."""
+    base_x = (tile_id % num_tiles_x) * tile_size
+    base_y = (tile_id // num_tiles_x) * tile_size
+    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
+    p = r * LANE + c
+    px = (base_x + p % tile_size).astype(jnp.float32)
+    py = (base_y + p // tile_size).astype(jnp.float32)
+    return px, py
+
+
+def _gauss_alpha(smem, slot, g, px, py):
+    """Per-pixel alpha of gaussian g (scalars from SMEM chunk row g)."""
+    mx = smem[slot, 0, g]
+    my = smem[slot, 1, g]
+    ca = smem[slot, 2, g]
+    cb = smem[slot, 3, g]
+    cc = smem[slot, 4, g]
+    op = smem[slot, 5, g]
+    dx = px - mx
+    dy = py - my
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha = jnp.minimum(ALPHA_CLAMP, op * jnp.exp(power))
+    ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
+    return alpha, ok, dx, dy, power
+
+
+def _forward_kernel(
+    starts_ref,  # scalar prefetch: (T,) int32 chunk-aligned range starts
+    counts_ref,  # scalar prefetch: (T,) int32 true pair counts
+    pair_hbm,  # (NUM_FIELDS, P_pad) in HBM
+    out_ref,  # (1, 4, SUB, LANE) VMEM: rows r, g, b, T
+    *,
+    num_tiles_x: int,
+    tile_size: int,
+):
+    tile_id = pl.program_id(0)
+    start = starts_ref[tile_id]
+    count = counts_ref[tile_id]
+    px, py = _pixel_coords(tile_id, num_tiles_x, tile_size)
+    nchunks = pl.cdiv(count, CHUNK)
+
+    def scoped(smem, sems):
+        def start_dma(c, slot):
+            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                pair_hbm.at[:, pl.ds(off, CHUNK)],
+                smem.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(nchunks > 0)
+        def _():
+            start_dma(0, 0).start()
+
+        def gauss_body(g, carry, c):
+            trans, done, r_acc, g_acc, b_acc = carry
+            slot = jax.lax.rem(c, 2)
+            i = c * CHUNK + g
+            alpha, ok, _, _, _ = _gauss_alpha(smem, slot, g, px, py)
+            ok = ok & (done < 0.5) & (i < count)
+            test_t = trans * (1.0 - alpha)
+            trigger = ok & (test_t < T_EPS)
+            contrib = ok & (~trigger)
+            w = jnp.where(contrib, alpha * trans, 0.0)
+            cr = smem[slot, 6, g]
+            cg = smem[slot, 7, g]
+            cb_ = smem[slot, 8, g]
+            return (
+                jnp.where(contrib, test_t, trans),
+                jnp.where(trigger, 1.0, done),
+                r_acc + w * cr,
+                g_acc + w * cg,
+                b_acc + w * cb_,
+            )
+
+        def chunk_cond(carry):
+            c, state = carry
+            done = state[1]
+            return (c < nchunks) & (jnp.min(done) < 0.5)
+
+        def chunk_body(carry):
+            c, state = carry
+            slot = jax.lax.rem(c, 2)
+            start_dma(c, slot).wait()
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                start_dma(c + 1, jax.lax.rem(c + 1, 2)).start()
+
+            state = jax.lax.fori_loop(
+                0, CHUNK, functools.partial(gauss_body, c=c), state
+            )
+            return c + 1, state
+
+        init = (
+            jnp.ones((SUB, LANE), jnp.float32),
+            jnp.zeros((SUB, LANE), jnp.float32),  # done mask (0/1)
+            jnp.zeros((SUB, LANE), jnp.float32),
+            jnp.zeros((SUB, LANE), jnp.float32),
+            jnp.zeros((SUB, LANE), jnp.float32),
+        )
+        c_end, (trans, done, r_acc, g_acc, b_acc) = jax.lax.while_loop(
+            chunk_cond, chunk_body, (jnp.int32(0), init)
+        )
+
+        # Drain the in-flight DMA for the next chunk if we exited early.
+        @pl.when(c_end < nchunks)
+        def _():
+            start_dma(c_end, jax.lax.rem(c_end, 2)).wait()
+
+        out_ref[0, 0] = r_acc
+        out_ref[0, 1] = g_acc
+        out_ref[0, 2] = b_acc
+        out_ref[0, 3] = trans
+
+    pl.run_scoped(
+        scoped,
+        smem=pltpu.SMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _backward_kernel(
+    starts_ref,  # scalar prefetch: (T,) int32
+    counts_ref,  # scalar prefetch: (T,) int32
+    pair_hbm,  # (NUM_FIELDS, P_pad) HBM
+    fwd_ref,  # (1, 4, SUB, LANE) VMEM: forward r, g, b, T_final
+    cot_ref,  # (1, 4, SUB, LANE) VMEM: cotangents dr, dg, db, dT
+    dpair_hbm,  # out: (NUM_FIELDS, P_pad) HBM per-pair grad columns
+    *,
+    num_tiles_x: int,
+    tile_size: int,
+):
+    tile_id = pl.program_id(0)
+    start = starts_ref[tile_id]
+    count = counts_ref[tile_id]
+    px, py = _pixel_coords(tile_id, num_tiles_x, tile_size)
+    nchunks = pl.cdiv(count, CHUNK)
+
+    gr = cot_ref[0, 0]
+    gg = cot_ref[0, 1]
+    gb = cot_ref[0, 2]
+    gt = cot_ref[0, 3]
+    cr_img = fwd_ref[0, 0]
+    cg_img = fwd_ref[0, 1]
+    cb_img = fwd_ref[0, 2]
+    t_final = fwd_ref[0, 3]
+    gt_tf = gt * t_final  # per-pixel gT·T_final (reused every gaussian)
+
+    def scoped(smem, gsm, sems, gsem):
+        def start_dma(c, slot):
+            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                pair_hbm.at[:, pl.ds(off, CHUNK)],
+                smem.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(nchunks > 0)
+        def _():
+            start_dma(0, 0).start()
+
+        def gauss_body(g, carry, c):
+            trans, done, p_r, p_g, p_b = carry
+            slot = jax.lax.rem(c, 2)
+            i = c * CHUNK + g
+            alpha, ok, dx, dy, power = _gauss_alpha(smem, slot, g, px, py)
+            ok = ok & (done < 0.5) & (i < count)
+            test_t = trans * (1.0 - alpha)
+            trigger = ok & (test_t < T_EPS)
+            contrib = ok & (~trigger)
+            a_eff = jnp.where(contrib, alpha, 0.0)
+            w = a_eff * trans
+
+            cr = smem[slot, 6, g]
+            cg = smem[slot, 7, g]
+            cb_ = smem[slot, 8, g]
+            p_r = p_r + w * cr
+            p_g = p_g + w * cg
+            p_b = p_b + w * cb_
+
+            # dL/dcolor
+            gsm[6, g] = jnp.sum(w * gr)
+            gsm[7, g] = jnp.sum(w * gg)
+            gsm[8, g] = jnp.sum(w * gb)
+
+            # dL/dα = T·(c·g) − (S·g)/(1−α) − gT·T_final/(1−α), S = C − P_incl
+            dot_cg = cr * gr + cg * gg + cb_ * gb
+            s_dot_g = (cr_img - p_r) * gr + (cg_img - p_g) * gg \
+                + (cb_img - p_b) * gb
+            inv_om = 1.0 / (1.0 - a_eff)  # α ≤ 0.99 ⇒ safe
+            dalpha = jnp.where(
+                contrib, trans * dot_cg - (s_dot_g + gt_tf) * inv_om, 0.0
+            )
+
+            op = smem[slot, 5, g]
+            gauss = jnp.exp(power)
+            raw = op * gauss
+            dalpha = jnp.where(raw < ALPHA_CLAMP, dalpha, 0.0)  # 0.99 clamp
+            dpower = dalpha * op * gauss
+            ca = smem[slot, 2, g]
+            cb_c = smem[slot, 3, g]
+            cc = smem[slot, 4, g]
+            gsm[0, g] = jnp.sum(dpower * (ca * dx + cb_c * dy))  # d mean_x
+            gsm[1, g] = jnp.sum(dpower * (cc * dy + cb_c * dx))  # d mean_y
+            gsm[2, g] = jnp.sum(dpower * (-0.5 * dx * dx))  # d conic_a
+            gsm[3, g] = jnp.sum(dpower * (-dx * dy))  # d conic_b
+            gsm[4, g] = jnp.sum(dpower * (-0.5 * dy * dy))  # d conic_c
+            gsm[5, g] = jnp.sum(dalpha * gauss)  # d opacity
+
+            return (jnp.where(contrib, test_t, trans),
+                    jnp.where(trigger, 1.0, done),
+                    p_r, p_g, p_b)
+
+        def chunk_body(c, state):
+            slot = jax.lax.rem(c, 2)
+            start_dma(c, slot).wait()
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                start_dma(c + 1, jax.lax.rem(c + 1, 2)).start()
+
+            state = jax.lax.fori_loop(
+                0, CHUNK, functools.partial(gauss_body, c=c), state
+            )
+            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            out_dma = pltpu.make_async_copy(
+                gsm, dpair_hbm.at[:, pl.ds(off, CHUNK)], gsem
+            )
+            out_dma.start()
+            out_dma.wait()
+            return state
+
+        # Rows 9..15 of the grad rows are padding (their cotangents are
+        # discarded by the pack's VJP); zero them once up front so DMA'd
+        # chunks hold defined data.
+        def zero_pad(g, _):
+            for f in range(9, NUM_FIELDS):
+                gsm[f, g] = 0.0
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, zero_pad, 0)
+
+        init = (
+            jnp.ones((SUB, LANE), jnp.float32),
+            jnp.zeros((SUB, LANE), jnp.float32),  # done mask (0/1)
+            jnp.zeros((SUB, LANE), jnp.float32),
+            jnp.zeros((SUB, LANE), jnp.float32),
+            jnp.zeros((SUB, LANE), jnp.float32),
+        )
+        jax.lax.fori_loop(0, nchunks, chunk_body, init)
+
+    pl.run_scoped(
+        scoped,
+        smem=pltpu.SMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
+        gsm=pltpu.SMEM((NUM_FIELDS, CHUNK), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+        gsem=pltpu.SemaphoreType.DMA,
+    )
+
+
+def _forward_call(pair_rows, starts, counts, ntx, nty, tile_size, interpret):
+    num_t = starts.shape[0]
+    kernel = functools.partial(
+        _forward_kernel, num_tiles_x=ntx, tile_size=tile_size
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_t,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, 4, SUB, LANE), lambda t, s, c: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_t, 4, SUB, LANE), jnp.float32),
+        interpret=interpret,
+    )(starts, counts, pair_rows)
+
+
+def _backward_call(
+    pair_rows, starts, counts, fwd_pack, cot_pack, ntx, nty, tile_size,
+    interpret,
+):
+    num_t = starts.shape[0]
+    kernel = functools.partial(
+        _backward_kernel, num_tiles_x=ntx, tile_size=tile_size
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 4, SUB, LANE), lambda t, s, c: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, SUB, LANE), lambda t, s, c: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+    )
+    dpair = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(pair_rows.shape, jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, counts, pair_rows, fwd_pack, cot_pack)
+    return dpair
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def composite_tiles_pallas(
+    pair_rows: Array,
+    starts: Array,
+    counts: Array,
+    pad_valid: Array,
+    num_tiles_x: int,
+    num_tiles_y: int,
+    tile_size: int = 32,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Pallas compositing over the pair-major layout.
+
+    Args:
+      pair_rows: (NUM_FIELDS, P_pad) gathered field columns, depth-ordered
+        with chunk-aligned tile ranges (see `pad_tile_ranges`). Padding
+        columns must be zero (inert: alpha 0).
+      starts / counts: (T,) per-tile aligned start + true count.
+      pad_valid: (P_pad,) bool — which rows are real pairs (used to mask the
+        gradient rows of never-visited chunks).
+    Returns:
+      rgb: (T, 3, PIX); final_t: (T, PIX).
+    """
+    out, _ = _composite_fwd(
+        pair_rows, starts, counts, pad_valid,
+        num_tiles_x, num_tiles_y, tile_size, interpret,
+    )
+    return out
+
+
+def _composite_fwd(
+    pair_rows, starts, counts, pad_valid, ntx, nty, tile_size, interpret
+):
+    if tile_size * tile_size != SUB * LANE:
+        raise ValueError("pallas backend requires tile_size == 32")
+    packed = _forward_call(
+        pair_rows, starts, counts, ntx, nty, tile_size, interpret
+    )
+    pix = tile_size * tile_size
+    rgb = packed[:, :3].reshape(-1, 3, pix)
+    final_t = packed[:, 3].reshape(-1, pix)
+    return (rgb, final_t), (pair_rows, starts, counts, pad_valid, packed)
+
+
+def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
+    pair_rows, starts, counts, pad_valid, packed = residuals
+    drgb, dt = cot
+    num_t = starts.shape[0]
+    cot_pack = jnp.concatenate(
+        [
+            drgb.reshape(num_t, 3, SUB, LANE),
+            dt.reshape(num_t, 1, SUB, LANE),
+        ],
+        axis=1,
+    )
+    dpair = _backward_call(
+        pair_rows, starts, counts, packed, cot_pack, ntx, nty, tile_size,
+        interpret,
+    )
+    # Rows in chunks the backward sweep never visited hold garbage; the
+    # early-exit forward may also skip chunks, but backward runs all chunks
+    # up to each tile's count, so masking to real pairs suffices.
+    dpair = jnp.where(pad_valid[None, :], dpair, 0.0)
+    return dpair, None, None, None
+
+
+composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)

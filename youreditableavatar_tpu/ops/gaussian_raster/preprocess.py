@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -18,6 +19,7 @@ from youreditableavatar_tpu.ops.covariance import (
     build_cov3d,
     conic_and_radius,
     project_cov2d,
+    view_transform_points,
 )
 from youreditableavatar_tpu.ops.gaussian_raster.types import (
     GaussiansProjected,
@@ -55,8 +57,7 @@ def preprocess_gaussians(
       colors_override: (N, 3) precomputed colors instead of SH evaluation.
       cov3d_override: (N, 6) precomputed 3D covariances.
     """
-    W = camera.viewmat[:3, :3]
-    t = means3d @ W.T + camera.viewmat[:3, 3]
+    t = view_transform_points(means3d, camera.viewmat)
     depth = t[..., 2]
     in_front = depth > NEAR_PLANE
     safe_z = jnp.where(in_front, depth, 1.0)

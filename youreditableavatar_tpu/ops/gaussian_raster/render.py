@@ -42,6 +42,7 @@ class RasterizeConfig:
     sh_degree: int = 3
     scale_mod: float = 1.0
     backend: str = "auto"
+    pallas_interpret: bool = False  # run pallas kernels in interpreter mode
 
 
 def _resolve_backend(backend: str) -> str:
@@ -91,27 +92,47 @@ def render_gaussians(
     # Binning is index bookkeeping — no gradients flow through it.
     binning = jax.tree_util.tree_map(jax.lax.stop_gradient, binning)
 
-    pair_data = gather_pair_data(
-        proj.mean2d, proj.conic, proj.color, proj.opacity,
-        binning.pair_gauss, binning.tile_start,
-        jnp.minimum(binning.tile_count, cfg.tile_capacity),
-        cfg.tile_capacity,
-    )
-
     backend = _resolve_backend(cfg.backend)
     if backend == "xla":
+        pair_data = gather_pair_data(
+            proj.mean2d, proj.conic, proj.color, proj.opacity,
+            binning.pair_gauss, binning.tile_start,
+            jnp.minimum(binning.tile_count, cfg.tile_capacity),
+            cfg.tile_capacity,
+        )
         rgb_tiles, t_tiles = composite_tiles_xla(
             pair_data, ntx, nty, ts, cfg.chunk
         )
     elif backend == "pallas":
         from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
+            CHUNK,
             composite_tiles_pallas,
         )
+        from youreditableavatar_tpu.ops.gaussian_raster.binning import (
+            pad_tile_ranges,
+        )
+        from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import (
+            NUM_FIELDS,
+        )
 
+        padded_size = cfg.pair_budget + ntx * nty * CHUNK
+        pg, pvalid, astart = pad_tile_ranges(binning, CHUNK, padded_size)
+        # One packed (N, 16) row per gaussian; padding rows zeroed (inert).
+        zeros = jnp.zeros_like(proj.opacity)
+        fields = jnp.stack(
+            [
+                proj.mean2d[:, 0], proj.mean2d[:, 1],
+                proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+                proj.opacity,
+                proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+            ]
+            + [zeros] * (NUM_FIELDS - 9),
+            axis=1,
+        )
+        pair_cols = jnp.where(pvalid[:, None], fields[pg], 0.0).T
         rgb_tiles, t_tiles = composite_tiles_pallas(
-            pair_data,
-            jnp.minimum(binning.tile_count, cfg.tile_capacity),
-            ntx, nty, ts,
+            pair_cols, astart, binning.tile_count, pvalid,
+            ntx, nty, ts, cfg.pallas_interpret,
         )
     else:
         raise ValueError(f"unknown rasterizer backend {backend!r}")

@@ -9,6 +9,7 @@ Gaussians; the clamp-at-zero mask matches the CUDA forward (`+0.5` offset then
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -92,7 +93,10 @@ def eval_sh(degree: int, sh: Array, dirs: Array) -> Array:
     """
     k = num_sh_coeffs(degree)
     basis = eval_sh_basis(degree, dirs)  # (..., k)
-    return jnp.einsum("...k,...kc->...c", basis, sh[..., :k, :])
+    return jnp.einsum(
+        "...k,...kc->...c", basis, sh[..., :k, :],
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def sh_to_color(degree: int, sh: Array, means: Array, campos: Array) -> Array:

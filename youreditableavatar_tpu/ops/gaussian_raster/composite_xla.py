@@ -35,14 +35,20 @@ NUM_FIELDS = 16  # padded to a VMEM-friendly sublane count
 
 
 def tile_pixel_coords(
-    num_tiles_x: int, num_tiles_y: int, tile_size: int
+    num_tiles_x: int,
+    num_tiles_y: int,
+    tile_size: int,
+    tile_ids: Array | None = None,
 ) -> Tuple[Array, Array]:
     """Per-tile flattened pixel coordinates.
 
     Returns (px, py), each (T, PIX) float32, flat index p → (x, y) =
-    (p % tile_size, p // tile_size) offset by the tile origin.
+    (p % tile_size, p // tile_size) offset by the tile origin. `tile_ids`
+    restricts to a subset (the tile-sharded path computes only its shard).
     """
-    t = jnp.arange(num_tiles_x * num_tiles_y, dtype=jnp.int32)
+    if tile_ids is None:
+        tile_ids = jnp.arange(num_tiles_x * num_tiles_y, dtype=jnp.int32)
+    t = tile_ids
     base_x = (t % num_tiles_x) * tile_size
     base_y = (t // num_tiles_x) * tile_size
     p = jnp.arange(tile_size * tile_size, dtype=jnp.int32)
@@ -101,12 +107,15 @@ def composite_tiles_xla(
     num_tiles_y: int,
     tile_size: int,
     chunk: int = 32,
+    tile_ids: Array | None = None,
 ) -> Tuple[Array, Array]:
     """Front-to-back alpha compositing over all tiles.
 
     Args:
       pair_data: (T, NUM_FIELDS, CAP) gathered pair fields, depth-ordered.
       chunk: gaussians processed per scan step.
+      tile_ids: optional (T,) global tile indices when pair_data covers a
+        shard of the screen (tile-axis parallelism).
     Returns:
       rgb: (T, 3, PIX) accumulated color (no background).
       final_t: (T, PIX) final transmittance.
@@ -115,7 +124,9 @@ def composite_tiles_xla(
     if cap % chunk != 0:
         raise ValueError(f"capacity {cap} must be divisible by chunk {chunk}")
     pix = tile_size * tile_size
-    px, py = tile_pixel_coords(num_tiles_x, num_tiles_y, tile_size)  # (T, PIX)
+    px, py = tile_pixel_coords(
+        num_tiles_x, num_tiles_y, tile_size, tile_ids
+    )  # (T, PIX)
 
     def step(carry, fields_c):
         # fields_c: (T, NUM_FIELDS, chunk); carry: (T_trans, done, rgb)

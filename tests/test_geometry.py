@@ -173,6 +173,22 @@ class TestCompactSubdivide:
         assert child.shape == (96, 4)
         assert bool(child_valid.all())
 
+    def test_subdivide_preserves_orientation(self):
+        # Every child must keep the parent's orientation parity — a mirrored
+        # child flips marching-tets face winding (normal-map artifacts).
+        pos = jnp.asarray(
+            np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+        )
+        tets = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
+        new_pos, _, child, valid, _ = subdivide_tets(
+            pos, jnp.zeros(4), tets, jnp.ones(1, bool), 64
+        )
+        p = np.asarray(new_pos)
+        for c in np.asarray(child):
+            a, b, cc, d = p[c]
+            sv = np.dot(np.cross(b - a, cc - a), d - a)
+            assert sv > 0
+
     def test_subdivide_dedups_midpoints(self):
         verts, tets = make_tet_grid(2)
         pos = jnp.asarray(verts)
@@ -202,9 +218,18 @@ class TestPartition:
         )
         assert bool(jnp.any(update)) and bool(jnp.any(keep))
         assert not bool(jnp.any(update & keep))
-        # Every editable face's tet is in the update set.
-        f2t = np.asarray(out.face_to_tet)[np.asarray(edit)]
-        assert np.asarray(update)[f2t].all()
+        # Every NON-editable surface face's tet is frozen (keep); tets with
+        # only editable faces are editable (reference semantics: update =
+        # complement of the frozen shell, `isosurface.py:222-233`).
+        nonedit = np.asarray(out.faces_valid) & ~np.asarray(edit)
+        f2t_keep = np.asarray(out.face_to_tet)[nonedit]
+        assert np.asarray(keep)[f2t_keep].all()
+        only_edit = np.setdiff1d(
+            np.asarray(out.face_to_tet)[np.asarray(edit)], f2t_keep
+        )
+        assert np.asarray(update)[only_edit].all()
+        # Update includes empty-space tets (growth room).
+        assert int(update.sum()) > int(jnp.asarray(edit).sum())
 
         ov = overlap_vertex_mask(tets, update, pos.shape[0])
         # Overlap vertices exist on the partition boundary and each belongs

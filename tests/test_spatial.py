@@ -1,0 +1,286 @@
+"""Spatial stage tests: SDF field, shape init, partition, SDS edit smoke.
+
+SURVEY §4(d): pipeline smoke tests with a stub guidance backend so stage
+wiring runs without diffusion weights. Sizes are tiny; budgets small.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from youreditableavatar_tpu.guidance import (
+    SDSConfig,
+    SDSGuidance,
+    StubDiffusionPrior,
+    StubPromptEncoder,
+)
+from youreditableavatar_tpu.guidance.prompts import PromptProcessor
+from youreditableavatar_tpu.models.geometry import GeometryBudgets, TetGeometry
+from youreditableavatar_tpu.models.sdf import SDFField, SDFFieldConfig
+from youreditableavatar_tpu.ops.hashgrid import HashGridConfig
+from youreditableavatar_tpu.ops.marching_tets import make_tet_grid, marching_tets
+from youreditableavatar_tpu.ops.mesh_raster import MeshRasterConfig
+from youreditableavatar_tpu.stages.export import (
+    export_edit_mesh,
+    export_editing_region_info,
+    export_init_mesh,
+    load_edit_mesh,
+    load_init_mesh,
+    remove_floaters,
+)
+from youreditableavatar_tpu.stages.spatial import (
+    HumanEditConfig,
+    HumanEditTrainer,
+    ShapeInitConfig,
+    ShapeInitializer,
+    align_anchor_mesh,
+)
+from youreditableavatar_tpu.data.camera_sampler import RandomCameraConfig
+
+
+def small_field():
+    return SDFField(
+        SDFFieldConfig(
+            grid=HashGridConfig(
+                n_levels=4, n_features_per_level=2, log2_hashmap_size=13,
+                base_resolution=4, per_level_scale=1.5,
+            ),
+            n_neurons=32,
+            sdf_bias="sphere",
+            sdf_bias_radius=0.4,
+        )
+    )
+
+
+SMALL_BUDGETS = GeometryBudgets(
+    mt_verts=4096, mt_faces=8192, compact=2048, subdiv_mid=8192,
+    fine_mt_verts=8192, fine_mt_faces=16384,
+)
+
+MESH_CFG = MeshRasterConfig(pair_budget=1 << 14, tile_capacity=1024,
+                            backend="xla")
+
+
+class TestSDFField:
+    def test_sphere_bias_gives_sphere_surface(self):
+        field = small_field()
+        params = field.init_params(jax.random.PRNGKey(0))
+        geom = TetGeometry(field, resolution=12, budgets=SMALL_BUDGETS)
+        mt = geom.isosurface(params)
+        v = np.asarray(mt.verts)[np.asarray(mt.verts_valid)]
+        r = np.linalg.norm(v, axis=-1)
+        # Near-zero-init MLP + sphere bias ⇒ surface ≈ sphere of radius 0.4.
+        assert int(mt.num_faces) > 100
+        np.testing.assert_allclose(r.mean(), 0.4, atol=0.08)
+
+    def test_fd_normals_radial(self):
+        field = small_field()
+        params = field.init_params(jax.random.PRNGKey(0))
+        pts = jnp.asarray(
+            np.random.default_rng(0).normal(size=(64, 3)), jnp.float32
+        )
+        pts = 0.4 * pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        sdf, normals = field.forward_with_normal(params, pts)
+        dots = np.einsum(
+            "ij,ij->i", np.asarray(normals),
+            np.asarray(pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)),
+        )
+        assert dots.mean() > 0.9  # outward radial
+
+    def test_chunked_matches_direct(self):
+        field = small_field()
+        params = field.init_params(jax.random.PRNGKey(1))
+        pts = jnp.asarray(
+            np.random.default_rng(1).uniform(-1, 1, (1000, 3)), jnp.float32
+        )
+        a = field.forward_sdf(params, pts)
+        b = field.forward_sdf_chunked(params, pts, chunk=256)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestShapeInit:
+    def test_fits_sphere_mesh(self):
+        # GT mesh: marching-tets sphere; tiny iteration counts.
+        gverts, gtets = make_tet_grid(10)
+        pos = jnp.asarray(gverts)
+        sdf = jnp.linalg.norm(pos, axis=-1) - 0.35
+        mt = marching_tets(pos, sdf, jnp.asarray(gtets), 2048, 4096)
+        nv, nf = int(mt.num_verts), int(mt.num_faces)
+        verts = np.asarray(mt.verts)[:nv]
+        faces = np.asarray(mt.faces)[np.asarray(mt.faces_valid)][:nf]
+
+        field = small_field()
+        geom = TetGeometry(field, resolution=10, budgets=SMALL_BUDGETS)
+        cfg = ShapeInitConfig(
+            sdf_iters=150, sdf_points_per_iter=4096, sdf_pool_size=50_000,
+            normal_iters=3, normal_height=64, normal_width=64,
+            normal_points_per_iter=4096,
+            camera=RandomCameraConfig(
+                height=64, width=64, camera_distance_range=(1.6, 1.8),
+                elevation_range=(-10, 10), fovy_range=(40, 45),
+            ),
+        )
+        init = ShapeInitializer(field, geom, cfg)
+        params, info = init.run(
+            verts, faces, jax.random.PRNGKey(0), MESH_CFG
+        )
+        # Field ≈ sphere sdf on probe points.
+        rng = np.random.default_rng(2)
+        probe = rng.uniform(-0.8, 0.8, (512, 3)).astype(np.float32)
+        pred = np.asarray(field.forward_sdf(params, jnp.asarray(probe)))
+        gt = np.linalg.norm(probe, axis=-1) - 0.35
+        corr = np.corrcoef(pred, gt)[0, 1]
+        assert corr > 0.97
+
+
+def make_partitioned(field, geom, params):
+    mt = geom.isosurface(params)
+    fc = np.asarray(mt.verts)[np.asarray(mt.faces)].mean(1)
+    edit_faces = jnp.asarray(fc[:, 2] > 0.1) & mt.faces_valid
+    part = geom.partition_init(params, edit_faces, frozen_mt=mt)
+    return mt, edit_faces, part
+
+
+class TestPartition:
+    def test_partition_surfaces(self):
+        field = small_field()
+        params = field.init_params(jax.random.PRNGKey(0))
+        geom = TetGeometry(field, resolution=12, budgets=SMALL_BUDGETS)
+        mt, edit_faces, part = make_partitioned(field, geom, params)
+
+        assert bool(jnp.any(part.update_tet_mask))
+        assert bool(jnp.any(part.keep_tet_mask))
+        # Cached keep mesh exists and lies in the keep region (z below cut).
+        kv = np.asarray(part.keep_mesh.verts)[
+            np.asarray(part.keep_mesh.verts_valid)
+        ]
+        assert len(kv) > 0
+        assert np.quantile(kv[:, 2], 0.9) < 0.35
+
+        # Live update surface initially matches the frozen field's update
+        # region (same field): on-surface verts near radius 0.4.
+        upd = geom.part_isosurface(params, part)
+        uv = np.asarray(upd.verts)[np.asarray(upd.verts_valid)]
+        assert len(uv) > 0
+        np.testing.assert_allclose(
+            np.linalg.norm(uv, axis=-1).mean(), 0.4, atol=0.1
+        )
+
+    def test_update_region_differentiable(self):
+        field = small_field()
+        params = field.init_params(jax.random.PRNGKey(0))
+        geom = TetGeometry(field, resolution=10, budgets=SMALL_BUDGETS)
+        _, _, part = make_partitioned(field, geom, params)
+
+        def loss(p):
+            upd = geom.part_isosurface(p, part)
+            r = jnp.linalg.norm(upd.verts, axis=-1)
+            return jnp.sum(jnp.where(upd.verts_valid, r, 0.0))
+
+        g = jax.grad(loss)(params)
+        total = sum(
+            float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)
+        )
+        assert np.isfinite(total) and total > 0
+
+
+class TestHumanEditSmoke:
+    def test_few_steps_run(self):
+        field = small_field()
+        params = field.init_params(jax.random.PRNGKey(0))
+        geom = TetGeometry(field, resolution=10, budgets=SMALL_BUDGETS)
+        _, _, part = make_partitioned(field, geom, params)
+
+        prior = StubDiffusionPrior()
+        guidance = SDSGuidance(prior, SDSConfig(guidance_scale=7.5))
+        enc = StubPromptEncoder()
+        prompts = PromptProcessor(
+            "a red jacket", "low quality", enc,
+            cache_dir="/tmp/test_prompt_cache", model_name="stub-test",
+        )
+        cfg = HumanEditConfig(
+            max_steps=4,
+            camera=RandomCameraConfig(
+                height=64, width=64, camera_distance_range=(1.6, 1.8),
+                elevation_range=(-5, 10), fovy_range=(40, 45),
+            ),
+            recon_points=2048,
+            start_sdf_loss_step=2,
+        )
+        trainer = HumanEditTrainer(
+            field, geom, part, params, guidance, prompts, prompts,
+            cfg, MESH_CFG,
+        )
+        out = trainer.train(jax.random.PRNGKey(1), num_steps=4)
+        assert trainer.global_step == 4
+        for rec in trainer.metrics:
+            assert np.isfinite(rec["loss"])
+        # Params moved.
+        moved = sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(out),
+                jax.tree_util.tree_leaves(params),
+            )
+        )
+        assert moved > 0
+
+
+class TestExporters:
+    def test_init_mesh_roundtrip(self, tmp_path):
+        field = small_field()
+        params = field.init_params(jax.random.PRNGKey(0))
+        geom = TetGeometry(field, resolution=10, budgets=SMALL_BUDGETS)
+        mt = geom.isosurface(params)
+        path = str(tmp_path / "init_mesh.npy")
+        export_init_mesh(path, mt)
+        data = load_init_mesh(path)
+        assert data["vertices"].shape[1] == 3
+        assert data["faces"].shape[1] == 3
+        assert len(data["face_to_global_tet_idx"]) == len(data["faces"])
+        assert data["faces"].max() < len(data["vertices"])
+
+    def test_edit_mesh_roundtrip(self, tmp_path):
+        field = small_field()
+        params = field.init_params(jax.random.PRNGKey(0))
+        geom = TetGeometry(field, resolution=10, budgets=SMALL_BUDGETS)
+        mt, edit_faces, part = make_partitioned(field, geom, params)
+        upd = geom.part_isosurface(params, part)
+        path = str(tmp_path / "edit_mesh.npy")
+        export_edit_mesh(path, part.keep_mesh, upd)
+        d = load_edit_mesh(path)
+        assert d["keep_vertices_num"] > 0 and d["keep_faces_num"] > 0
+        assert len(d["editing_mask"]) == len(d["vertices"])
+        assert d["editing_mask"][: d["keep_vertices_num"]].sum() == 0
+        assert d["editing_mask"].sum() > 0
+
+    def test_remove_floaters(self):
+        # Two components: a big fan and a lone triangle.
+        verts = np.random.default_rng(0).normal(size=(10, 3))
+        faces = np.array(
+            [[0, 1, 2], [0, 2, 3], [0, 3, 4], [0, 4, 5], [0, 5, 6],
+             [7, 8, 9]]
+        )
+        keep = remove_floaters(verts, faces, min_fraction=0.34)
+        assert keep[:5].all() and not keep[5]
+
+    def test_editing_region_info(self, tmp_path):
+        path = str(tmp_path / "editing_region_info.npy")
+        vm = np.array([1, 0, 1, 1])
+        fm = np.array([1.0, 0.0])
+        export_editing_region_info(path, vm, fm)
+        info = np.load(path, allow_pickle=True).item()
+        np.testing.assert_array_equal(info["editing_mask"], vm)
+        np.testing.assert_array_equal(info["editing_mask_faces"], fm)
+
+
+class TestAlignment:
+    def test_align_anchor_mesh(self):
+        rng = np.random.default_rng(0)
+        verts = rng.normal(size=(100, 3)) * 2 + 5
+        v, meta = align_anchor_mesh(verts, shape_init_params=0.9)
+        assert np.abs(v).max() <= 0.9 + 1e-5
+        assert meta["scale"] > 0

@@ -1,0 +1,127 @@
+"""View-dependent prompt processing with disk-cached embeddings.
+
+Capability parity with `tetgs_spatial/models/prompt_processors/base.py:26-636`
+and `stable_diffusion_prompt_processor.py:15-103`:
+
+  * direction-conditioned prompts — azimuth/elevation buckets map to
+    "front/side/back/overhead view" suffixes, with the human-part template
+    variants (full body / head / upper / lower, `base.py:228-413`);
+  * embeddings computed once per (model, prompt) and cached on disk keyed by
+    md5 (`base.py:460-509`). The reference computes them in a *spawned
+    subprocess* to free GPU memory; JAX needs no subprocess — the encoder is
+    called inline and dropped;
+  * `PromptUtils.get_text_embeddings(elevation, azimuth, ...)` selects the
+    per-view conditioned embedding and the matching negative/uncond one.
+
+The BERT-based prompt debiasing (`base.py:563-621`) is configured off by
+default in the reference and is not replicated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from youreditableavatar_tpu.guidance.base import PromptEncoder
+
+
+@dataclasses.dataclass(frozen=True)
+class DirectionConfig:
+    name: str
+    prompt: Callable[[str], str]
+    condition: Callable[[np.ndarray, np.ndarray], np.ndarray]
+
+
+def _front(e, a):
+    return (a > -60) & (a < 60)
+
+
+def _side(e, a):
+    return ((a >= 60) & (a <= 120)) | ((a <= -60) & (a >= -120))
+
+
+def _back(e, a):
+    return (a > 120) | (a < -120)
+
+
+def _overhead(e, a):
+    return e > 60
+
+
+# Direction set mirrors `base.py:228-253` (overhead wins over azimuth).
+DIRECTIONS: List[DirectionConfig] = [
+    DirectionConfig("front", lambda s: f"{s}, front view", _front),
+    DirectionConfig("side", lambda s: f"{s}, side view", _side),
+    DirectionConfig("back", lambda s: f"{s}, back view", _back),
+    DirectionConfig("overhead", lambda s: f"{s}, overhead view", _overhead),
+]
+
+# Human-part prompt templates (`base.py:255-413` sampling variants).
+PART_TEMPLATES: Dict[str, Callable[[str], str]] = {
+    "full": lambda s: f"full body photo of {s}",
+    "head": lambda s: f"head photo of {s}",
+    "upper": lambda s: f"upper body photo of {s}",
+    "lower": lambda s: f"lower body photo of {s}",
+}
+
+
+class PromptProcessor:
+    def __init__(
+        self,
+        prompt: str,
+        negative_prompt: str,
+        encoder: PromptEncoder,
+        cache_dir: str = ".cache/text_embeddings",
+        model_name: str = "stub",
+        part: str = "full",
+        use_part_templates: bool = False,
+    ):
+        self.prompt = (
+            PART_TEMPLATES[part](prompt) if use_part_templates else prompt
+        )
+        self.negative_prompt = negative_prompt
+        self.encoder = encoder
+        self.cache_dir = cache_dir
+        self.model_name = model_name
+        os.makedirs(cache_dir, exist_ok=True)
+
+        prompts = [self.prompt] + [
+            d.prompt(self.prompt) for d in DIRECTIONS
+        ]
+        negatives = [negative_prompt] * len(prompts)
+        self.cond = np.stack([self._embed(p) for p in prompts])
+        self.uncond = np.stack([self._embed(p) for p in negatives])
+
+    def _cache_path(self, text: str) -> str:
+        key = hashlib.md5(f"{self.model_name}::{text}".encode()).hexdigest()
+        return os.path.join(self.cache_dir, f"{key}.npy")
+
+    def _embed(self, text: str) -> np.ndarray:
+        path = self._cache_path(text)
+        if os.path.exists(path):
+            return np.load(path)
+        emb = np.asarray(self.encoder.encode([text])[0])
+        np.save(path, emb)
+        return emb
+
+    def direction_index(
+        self, elevation_deg: np.ndarray, azimuth_deg: np.ndarray
+    ) -> np.ndarray:
+        """(B,) index into the direction set (0 = no direction match)."""
+        e = np.asarray(elevation_deg)
+        a = np.asarray(azimuth_deg)
+        idx = np.zeros(e.shape, np.int32)
+        for i, d in enumerate(DIRECTIONS):
+            idx = np.where(d.condition(e, a), i + 1, idx)
+        return idx
+
+    def get_text_embeddings(
+        self, elevation_deg: np.ndarray, azimuth_deg: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(B, L, D) cond + uncond embeddings for a view batch."""
+        idx = self.direction_index(elevation_deg, azimuth_deg)
+        return self.cond[idx], self.uncond[idx]

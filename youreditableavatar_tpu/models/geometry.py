@@ -1,0 +1,225 @@
+"""Partitioned tet-grid geometry: full/keep/update isosurface orchestration.
+
+Capability parity with `tetgs_spatial/models/geometry/base.py:14-527`
+(BaseImplicitGeometry): full-grid marching tets, the frozen/editable tet
+partition (`part_isosurface_init` :231-306), cached fine keep-region SDF, and
+the per-step partitioned extraction (`_part_isosurface` :308-485) where keep
+vertices read the frozen field and update vertices the live one.
+
+TPU re-design (SURVEY §7 P1/§5.7): all data-dependent steps live behind
+static budgets —
+
+  * the keep region is subdivided ONCE at partition time with the frozen
+    field (its SDF never changes), and its marching-tets surface is cached —
+    the reference re-extracts the identical mesh every step;
+  * the per-step update path is fully jittable: scatter live SDF over the
+    update-exclusive vertices (overlap vertices stay frozen — the reference's
+    CPU set-intersection becomes an int mask), budgeted near-surface
+    compaction, one midpoint subdivision with live re-query, marching tets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from youreditableavatar_tpu.models.sdf import SDFField
+from youreditableavatar_tpu.ops.marching_tets import (
+    MTOutput,
+    compact_tets,
+    make_tet_grid,
+    marching_tets,
+    mark_part_tets,
+    overlap_vertex_mask,
+    subdivide_tets,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class GeometryBudgets:
+    """Static shape budgets (overflow is detectable via num_* fields)."""
+
+    mt_verts: int = 1 << 16
+    mt_faces: int = 1 << 17
+    compact: int = 1 << 14  # near-surface update tets kept for subdivision
+    subdiv_mid: int = 1 << 16  # midpoint vertices for the 8× subdivision
+    fine_mt_verts: int = 1 << 16
+    fine_mt_faces: int = 1 << 17
+
+
+class Partition(NamedTuple):
+    """Frozen partition state produced at `partition_init`."""
+
+    update_tet_mask: Array  # (Nt,) bool
+    keep_tet_mask: Array  # (Nt,) bool
+    overlap_verts: Array  # (Nv,) bool — frozen even inside the update region
+    live_vert_mask: Array  # (Nv,) bool — vertices that read the live field
+    frozen_sdf: Array  # (Nv,) frozen field at all grid vertices
+    keep_mesh: MTOutput  # cached fine keep-region surface
+    keep_fine_pos: Array  # subdivided keep vertices (diagnostics/export)
+    keep_fine_sdf: Array
+
+
+class TetGeometry:
+    """Field + tet grid + budgets."""
+
+    def __init__(
+        self,
+        field: SDFField,
+        resolution: int = 64,
+        budgets: GeometryBudgets = GeometryBudgets(),
+        grid_scale: float = 2.0,
+    ):
+        self.field = field
+        self.budgets = budgets
+        verts, tets = make_tet_grid(resolution)
+        # Grid spans [-scale/2, scale/2]³ (reference grids live in the
+        # isosurface bbox of radius `field.cfg.radius`).
+        self.grid_pos = jnp.asarray(verts * grid_scale)
+        self.grid_tets = jnp.asarray(tets)
+        self.resolution = resolution
+        self.spacing = grid_scale / resolution
+
+    # ---- full-grid surface -------------------------------------------------
+
+    def isosurface(
+        self, params: Dict[str, Any], level_mask: Optional[Array] = None
+    ) -> MTOutput:
+        """Full-grid marching tets of the live field."""
+        sdf = self.field.forward_sdf_chunked(
+            params, self.grid_pos, level_mask=level_mask
+        )
+        return marching_tets(
+            self.grid_pos, sdf, self.grid_tets,
+            self.budgets.mt_verts, self.budgets.mt_faces,
+        )
+
+    # ---- partition ---------------------------------------------------------
+
+    def partition_init(
+        self,
+        frozen_params: Dict[str, Any],
+        edit_face_mask: Array,
+        frozen_mt: Optional[MTOutput] = None,
+    ) -> Partition:
+        """Split the grid into keep/update from an editable-face mask.
+
+        Args:
+          frozen_params: the previous-stage field (frozen).
+          edit_face_mask: (max_faces,) bool over `frozen_mt` faces (from
+            `editing_region_info.npy` remapping).
+          frozen_mt: surface of the frozen field (recomputed if omitted).
+        """
+        if frozen_mt is None:
+            frozen_mt = self.isosurface(frozen_params)
+        frozen_sdf = self.field.forward_sdf_chunked(
+            frozen_params, self.grid_pos
+        )
+
+        update_mask, keep_mask = mark_part_tets(
+            self.grid_tets, frozen_mt.face_to_tet, frozen_mt.faces_valid,
+            edit_face_mask,
+        )
+        overlap = overlap_vertex_mask(
+            self.grid_tets, update_mask, self.grid_pos.shape[0]
+        )
+        # Vertices of update tets, minus overlap, read the live field.
+        nv = self.grid_pos.shape[0]
+        in_update = jnp.zeros((nv,), bool).at[
+            jnp.where(update_mask[:, None], self.grid_tets, 0)
+        ].set(True)
+        v0_real = jnp.any(update_mask[:, None] & (self.grid_tets == 0))
+        in_update = in_update.at[0].set(v0_real)
+        live_mask = in_update & (~overlap)
+
+        # Fine keep region: compact near-surface keep tets with the frozen
+        # field, subdivide once, re-query frozen field at midpoints, extract.
+        keep_sdf = frozen_sdf
+        idx, valid, _ = compact_tets(
+            self.grid_pos, keep_sdf, self.grid_tets, self.budgets.compact,
+            tet_mask=keep_mask, corner_threshold=self.spacing,
+        )
+        sel_keep = valid
+        sub_tets = self.grid_tets[idx]
+        fine_pos, fine_sdf_approx, child_tets, child_valid, _ = subdivide_tets(
+            self.grid_pos, keep_sdf, sub_tets, sel_keep,
+            self.budgets.subdiv_mid,
+        )
+        # Re-query the frozen field at the true midpoints (the reference
+        # caches exact fine keep-SDF, `geometry/base.py:282-306`).
+        n_base = self.grid_pos.shape[0]
+        mids = fine_pos[n_base:]
+        mid_sdf = self.field.forward_sdf_chunked(frozen_params, mids)
+        fine_sdf = jnp.concatenate([keep_sdf, mid_sdf])
+        keep_mesh = marching_tets(
+            fine_pos, fine_sdf, child_tets,
+            self.budgets.fine_mt_verts, self.budgets.fine_mt_faces,
+            tet_valid=child_valid,
+        )
+        return Partition(
+            update_tet_mask=update_mask,
+            keep_tet_mask=keep_mask,
+            overlap_verts=overlap,
+            live_vert_mask=live_mask,
+            frozen_sdf=frozen_sdf,
+            keep_mesh=jax.tree_util.tree_map(jax.lax.stop_gradient, keep_mesh),
+            keep_fine_pos=fine_pos,
+            keep_fine_sdf=fine_sdf,
+        )
+
+    # ---- per-step update surface (jittable) --------------------------------
+
+    def part_isosurface(
+        self,
+        params: Dict[str, Any],
+        part: Partition,
+        level_mask: Optional[Array] = None,
+    ) -> MTOutput:
+        """Update-region surface from the live field (differentiable).
+
+        Composite SDF: frozen values everywhere, live values scattered on the
+        update-exclusive vertices (`_part_isosurface` dual-MLP semantics,
+        `geometry/base.py:376-456`); then budgeted compaction + one live
+        subdivision + marching tets restricted to update tets.
+        """
+        live_sdf = self.field.forward_sdf_chunked(
+            params, self.grid_pos, level_mask=level_mask
+        )
+        sdf = jnp.where(part.live_vert_mask, live_sdf, part.frozen_sdf)
+
+        idx, valid, _ = compact_tets(
+            self.grid_pos, sdf, self.grid_tets, self.budgets.compact,
+            tet_mask=part.update_tet_mask, corner_threshold=self.spacing,
+        )
+        sel = valid
+        sub_tets = self.grid_tets[idx]
+        fine_pos, _, child_tets, child_valid, _ = subdivide_tets(
+            self.grid_pos, sdf, sub_tets, sel, self.budgets.subdiv_mid
+        )
+        n_base = self.grid_pos.shape[0]
+        mids = fine_pos[n_base:]
+        mid_live = self.field.forward_sdf_chunked(
+            params, mids, level_mask=level_mask
+        )
+        fine_sdf = jnp.concatenate([sdf, mid_live])
+        return marching_tets(
+            fine_pos, fine_sdf, child_tets,
+            self.budgets.fine_mt_verts, self.budgets.fine_mt_faces,
+            tet_valid=child_valid,
+        )
+
+
+def concat_meshes(a: MTOutput, b: MTOutput) -> Tuple[Array, Array, Array]:
+    """(verts, faces, faces_valid) of two budgeted meshes concatenated
+    (keep ∥ update, as `part_nvdiff_rasterizer.py:87-99` concatenates for the
+    local render)."""
+    nva = a.verts.shape[0]
+    verts = jnp.concatenate([a.verts, b.verts])
+    faces = jnp.concatenate([a.faces, b.faces + nva])
+    valid = jnp.concatenate([a.faces_valid, b.faces_valid])
+    return verts, faces, valid

@@ -214,8 +214,11 @@ def marching_tets(
     sa = sdf[va]
     sb = sdf[vb]
     denom = sb - sa
-    denom = jnp.where(jnp.abs(denom) < 1e-10, 1e-10, denom)
-    t = sb / denom  # weight of endpoint a
+    safe = jnp.abs(denom) >= 1e-10
+    denom = jnp.where(safe, denom, 1.0)
+    # Weight of endpoint a; 0.5 on degenerate/invalid edges keeps the
+    # division's gradient finite (0·inf = NaN otherwise).
+    t = jnp.where(safe & verts_valid, sb / denom, 0.5)
     verts = pos[va] * t[:, None] + pos[vb] * (1.0 - t[:, None])
     verts = jnp.where(verts_valid[:, None], verts, 0.0)
 
@@ -258,23 +261,36 @@ def compact_tets(
     tets: Array,
     budget: int,
     threshold: float = 0.02,
+    tet_mask: Array | None = None,
+    corner_threshold: float = 0.0,
 ) -> Tuple[Array, Array, Array]:
-    """Select near-surface tets: |mean vertex sdf| ≤ threshold OR sign change.
+    """Select near-surface tets: |mean vertex sdf| ≤ threshold, OR sign
+    change, OR any corner within `corner_threshold` of the surface.
 
-    Static-budget version of `isosurface.py:264-284`.
+    Static-budget version of `isosurface.py:264-284`. `tet_mask` restricts
+    selection (e.g. to the update partition) BEFORE the budget applies, so
+    the budget is spent only on relevant tets. `corner_threshold` (typically
+    one grid spacing) is the safety margin for the fine midpoint RE-QUERY:
+    the true field can cross zero inside a tet whose corners are all one
+    sign, and an unselected (unsubdivided) neighbor would leave a hole in
+    the fine surface.
 
     Returns:
       idx: (budget,) int32 selected tet indices (clamped fill for invalid).
       valid: (budget,) bool.
-      num: () int32 true count.
+      num: () int32 true count (> budget ⇒ overflow: tets were dropped).
     """
     tsdf = sdf[tets]  # (Nt, 4)
     near = jnp.abs(jnp.mean(tsdf, axis=-1)) <= threshold
     sign_change = (jnp.min(tsdf, -1) < 0) & (jnp.max(tsdf, -1) > 0)
     mask = near | sign_change
+    if corner_threshold > 0.0:
+        mask = mask | (jnp.min(jnp.abs(tsdf), -1) <= corner_threshold)
+    if tet_mask is not None:
+        mask = mask & tet_mask
     idx = jnp.nonzero(mask, size=budget, fill_value=0)[0].astype(jnp.int32)
     num = jnp.sum(mask)
-    valid = jnp.arange(budget) < num
+    valid = jnp.arange(budget) < jnp.minimum(num, budget)
     return idx, valid, num
 
 
@@ -326,7 +342,7 @@ def subdivide_tets(
             jnp.stack([a, ab, ac, ad], -1),
             jnp.stack([b, bc, ab, bd], -1),
             jnp.stack([c, ac, bc, cd], -1),
-            jnp.stack([d, ad, bd, cd], -1),
+            jnp.stack([d, ad, cd, bd], -1),  # ordered to keep parent parity
             jnp.stack([ab, ac, ad, bd], -1),
             jnp.stack([ab, bc, ac, bd], -1),
             jnp.stack([cd, ac, bc, bd], -1),
@@ -346,12 +362,16 @@ def mark_part_tets(
     edit_face_mask: Array,
     num_tets: int | None = None,
 ) -> Tuple[Array, Array]:
-    """Partition tets into editable ("update") and frozen ("keep") sets.
+    """Partition tets into frozen ("keep") and editable ("update") sets.
 
-    Static re-design of `isosurface.py:208-261`: a tet is editable iff any
-    surface face extracted from it is marked editable. The reference's CPU
-    float-set intersection for overlap vertices is replaced by
-    :func:`overlap_vertex_mask` (integer id math).
+    Static re-design of `isosurface.py:208-261`: KEEP tets are those whose
+    extracted surface faces are NOT editable (the frozen surface shell);
+    UPDATE tets are the entire complement — including empty space, so edited
+    geometry is free to grow/shrink anywhere outside the frozen shell
+    (`mark_part_tets`: `keep_tet_idx = face_to_tet_idx[edit_mask == 0]`,
+    update = unmapped). The reference's CPU float-set intersection for
+    overlap vertices is replaced by :func:`overlap_vertex_mask` (integer id
+    math).
 
     Args:
       tets: (Nt, 4); face_to_tet: (F,) tet id per MT face (−1 invalid);
@@ -360,10 +380,10 @@ def mark_part_tets(
       update_mask: (Nt,) bool; keep_mask: (Nt,) bool (= ~update).
     """
     nt = tets.shape[0] if num_tets is None else num_tets
-    hit = faces_valid & edit_face_mask & (face_to_tet >= 0)
-    tgt = jnp.where(hit, face_to_tet, nt)  # sentinel row
-    update = jnp.zeros((nt + 1,), bool).at[tgt].set(True)[:nt]
-    return update, ~update
+    keep_hit = faces_valid & (~edit_face_mask) & (face_to_tet >= 0)
+    tgt = jnp.where(keep_hit, face_to_tet, nt)  # sentinel row
+    keep = jnp.zeros((nt + 1,), bool).at[tgt].set(True)[:nt]
+    return ~keep, keep
 
 
 def overlap_vertex_mask(

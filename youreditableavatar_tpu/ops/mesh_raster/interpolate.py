@@ -151,5 +151,7 @@ def compute_vertex_normals(
     vn = vn.at[faces[:, 0]].add(fn)
     vn = vn.at[faces[:, 1]].add(fn)
     vn = vn.at[faces[:, 2]].add(fn)
-    norm = jnp.linalg.norm(vn, axis=-1, keepdims=True)
-    return vn / jnp.maximum(norm, 1e-12)
+    # rsqrt(Σx²+ε) is gradient-safe at 0 (‖·‖ has NaN grad there).
+    return vn * jax.lax.rsqrt(
+        jnp.sum(vn * vn, axis=-1, keepdims=True) + 1e-20
+    )

@@ -1,0 +1,446 @@
+"""Stages 0–1 — SDF shape initialization + localized SDS geometry editing.
+
+Capability parity with the reference spatial stage:
+
+  * `shape_init` (= `HumanInit` / `ImplicitSDF.initialize_shape`,
+    `implicit_sdf.py:172-361`): phase A regresses the field to the signed
+    distance of the anchor-aligned body mesh (reference: 15k iters × 40k pts
+    against pysdf; here the native `MeshSDF` BVH with a pre-sampled point
+    pool), phase B refines with rendered-normal L1 against the GT mesh's
+    normal maps from random cameras plus a strong SDF anchor term
+    (`:265-330`).
+  * `HumanEditTrainer` (= `HumanEdit.training_step`,
+    `systems/humanedit.py:152-304`): per step — sample a local+global camera
+    pair, extract the partitioned update surface, render normal maps, apply
+    SDS guidance on the local OR global normal map (chosen randomly with the
+    λ_sds weighting), the surface-aware keep-SDF recon loss, the HumanNorm
+    control-SDF loss, and normal consistency, all with `C()` schedules.
+
+Alignment chain (`convert_mesh_init`): mesh recentred by the anchor centroid,
+y += 0.3, up-y→up-z / front-z→front-x rotation, |v|∞-normalized to
+shape_init_params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import Array
+
+from youreditableavatar_tpu.data.camera_sampler import (
+    RandomCameraConfig,
+    RandomCameraSampler,
+)
+from youreditableavatar_tpu.guidance.prompts import PromptProcessor
+from youreditableavatar_tpu.guidance.sds import SDSGuidance
+from youreditableavatar_tpu.models.geometry import Partition, TetGeometry
+from youreditableavatar_tpu.models.part_renderer import (
+    normal_consistency,
+    render_part_maps,
+)
+from youreditableavatar_tpu.models.sdf import SDFField
+from youreditableavatar_tpu.native import MeshSDF
+from youreditableavatar_tpu.ops.mesh_raster import MeshRasterConfig
+from youreditableavatar_tpu.utils.registry import register
+from youreditableavatar_tpu.utils.schedule import C, ScheduleSpec
+
+
+def align_anchor_mesh(
+    verts: np.ndarray,
+    anchor_verts: Optional[np.ndarray] = None,
+    shape_init_params: float = 0.9,
+    y_offset: float = 0.3,
+) -> Tuple[np.ndarray, Dict[str, Any]]:
+    """`convert_mesh_init` mesh-side chain (`cameras.py:225-270`)."""
+    anchor = verts if anchor_verts is None else anchor_verts
+    centroid = anchor.mean(0)
+    v = verts - centroid
+    v = v.copy()
+    v[:, 1] += y_offset
+    x_ = np.array([0.0, 0.0, 1.0])  # front +z
+    z_ = np.array([0.0, 1.0, 0.0])  # up +y
+    y_ = np.cross(z_, x_)
+    std2mesh = np.stack([x_, y_, z_], axis=0).T
+    mesh2std = np.linalg.inv(std2mesh)
+    scale = np.abs(v).max()
+    v = v / scale * shape_init_params
+    v = (mesh2std @ v.T).T
+    meta = {
+        "centroid": centroid,
+        "scale": float(scale),
+        "shape_init_params": shape_init_params,
+        "y_offset": y_offset,
+    }
+    return v.astype(np.float32), meta
+
+
+@dataclasses.dataclass(frozen=True)
+class ShapeInitConfig:
+    sdf_iters: int = 15000
+    sdf_points_per_iter: int = 40000
+    sdf_pool_size: int = 2_000_000
+    sdf_lr: float = 1e-3
+    normal_iters: int = 501
+    normal_lr: float = 5e-5
+    normal_height: int = 512
+    normal_width: int = 512
+    normal_sdf_weight: float = 10000.0
+    normal_points_per_iter: int = 40000
+    camera: RandomCameraConfig = dataclasses.field(
+        default_factory=lambda: RandomCameraConfig(
+            elevation_range=(-10, 10),
+            camera_distance_range=(3.0, 3.3),
+            fovy_range=(40, 45),
+            height=512, width=512,
+        )
+    )
+
+
+@register("human-init")
+class ShapeInitializer:
+    """Stage-0 SDF fit to a reconstructed body mesh."""
+
+    def __init__(
+        self,
+        field: SDFField,
+        geometry: TetGeometry,
+        cfg: ShapeInitConfig = ShapeInitConfig(),
+    ):
+        self.field = field
+        self.geometry = geometry
+        self.cfg = cfg
+
+    def run(
+        self,
+        verts: np.ndarray,
+        faces: np.ndarray,
+        key: jax.Array,
+        mesh_cfg: MeshRasterConfig = MeshRasterConfig(),
+    ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        cfg = self.cfg
+        k_init, k_pool, k_train, k_cam = jax.random.split(key, 4)
+        params = self.field.init_params(k_init)
+
+        # Host: signed distance oracle + pre-sampled pool (the reference
+        # queries pysdf per iteration; the pool amortizes the BVH queries).
+        mesh_sdf = MeshSDF(verts, faces)
+        rng = np.random.default_rng(int(jax.random.randint(k_pool, (), 0,
+                                                           2**31 - 1)))
+        pool = rng.uniform(-1, 1, (cfg.sdf_pool_size, 3)).astype(np.float32)
+        # MeshSDF is positive outside; the field convention is also positive
+        # outside (the reference flips pysdf's positive-inside, we don't
+        # need to).
+        pool_sdf = mesh_sdf(pool)
+        pool_j = jnp.asarray(pool)
+        pool_sdf_j = jnp.asarray(pool_sdf)
+
+        tx = optax.adam(cfg.sdf_lr)
+        opt_state = tx.init(params)
+        field = self.field
+
+        @jax.jit
+        def sdf_step(params, opt_state, key):
+            idx = jax.random.randint(
+                key, (cfg.sdf_points_per_iter,), 0, cfg.sdf_pool_size
+            )
+            pts = pool_j[idx]
+            gt = pool_sdf_j[idx]
+
+            def loss_fn(p):
+                pred = field.forward_sdf(p, pts)
+                return jnp.mean((pred - gt) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        keys = jax.random.split(k_train, cfg.sdf_iters)
+        losses = []
+        for i in range(cfg.sdf_iters):
+            params, opt_state, loss = sdf_step(params, opt_state, keys[i])
+            if i % 500 == 0:
+                losses.append(float(loss))
+
+        # Phase B: rendered-normal refinement vs the GT mesh's own normal
+        # maps + a strong anchor on the pool SDF (`implicit_sdf.py:265-330`).
+        from youreditableavatar_tpu.models.part_renderer import (
+            render_geometry_maps,
+        )
+
+        gt_verts = jnp.asarray(verts)
+        gt_faces = jnp.asarray(faces, jnp.int32)
+        gt_valid = jnp.ones((faces.shape[0],), bool)
+        sampler = RandomCameraSampler(cfg.camera, seed=0)
+        tx2 = optax.adam(cfg.normal_lr)
+        opt2 = tx2.init(params)
+        geometry = self.geometry
+
+        @jax.jit
+        def normal_step(params, opt_state, viewmat, fx, fy, cx, cy, key):
+            from youreditableavatar_tpu.ops.gaussian_raster.types import (
+                RasterCamera,
+            )
+
+            cam = RasterCamera(
+                viewmat=viewmat, fx=fx, fy=fy, cx=cx, cy=cy,
+                width=cfg.normal_width, height=cfg.normal_height,
+            )
+            gt_maps = render_geometry_maps(
+                gt_verts, gt_faces, gt_valid, cam, mesh_cfg
+            )
+
+            def loss_fn(p):
+                mt = geometry.isosurface(p)
+                pred = render_geometry_maps(
+                    mt.verts, mt.faces, mt.faces_valid, cam, mesh_cfg
+                )
+                l_norm = jnp.mean(
+                    jnp.abs(pred["comp_normal"] - gt_maps["comp_normal"])
+                )
+                idx = jax.random.randint(
+                    key, (cfg.normal_points_per_iter,), 0, cfg.sdf_pool_size
+                )
+                l_sdf = jnp.mean(
+                    (field.forward_sdf(p, pool_j[idx]) - pool_sdf_j[idx]) ** 2
+                )
+                return l_norm + cfg.normal_sdf_weight * l_sdf
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx2.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        nkeys = jax.random.split(k_cam, cfg.normal_iters)
+        for i in range(cfg.normal_iters):
+            batch = sampler.sample()
+            cam = batch.global_[0].raster_camera()
+            params, opt2, loss = normal_step(
+                params, opt2, cam.viewmat, cam.fx, cam.fy, cam.cx, cam.cy,
+                nkeys[i],
+            )
+            if i % 100 == 0:
+                losses.append(float(loss))
+
+        return params, {"losses": losses, "pool_size": cfg.sdf_pool_size}
+
+
+@dataclasses.dataclass(frozen=True)
+class HumanEditConfig:
+    max_steps: int = 10000
+    lr: float = 1e-3
+    lambda_sds: ScheduleSpec = 0.5  # also the local-vs-global choice weight
+    lambda_sds_global: ScheduleSpec = 1.0
+    lambda_sdf_recon: ScheduleSpec = 1000.0
+    lambda_sdf_control: ScheduleSpec = 1000.0
+    lambda_normal_consistency: ScheduleSpec = 1000.0
+    start_sdf_loss_step: int = 3000
+    recon_points: int = 30000
+    log_every: int = 50
+    camera: RandomCameraConfig = dataclasses.field(
+        default_factory=lambda: RandomCameraConfig(
+            elevation_range=(-5, 10),
+            camera_distance_range=(3.3, 3.5),
+            fovy_range=(40, 45),
+        )
+    )
+
+
+@register("human-edit")
+class HumanEditTrainer:
+    """Stage-1 localized geometry editing with SDS guidance."""
+
+    def __init__(
+        self,
+        field: SDFField,
+        geometry: TetGeometry,
+        partition: Partition,
+        params: Dict[str, Any],
+        guidance: SDSGuidance,
+        prompts_local: PromptProcessor,
+        prompts_global: Optional[PromptProcessor],
+        cfg: HumanEditConfig = HumanEditConfig(),
+        mesh_cfg: MeshRasterConfig = MeshRasterConfig(),
+        seed: int = 0,
+    ):
+        self.field = field
+        self.geometry = geometry
+        self.partition = partition
+        self.params = params
+        self.frozen_params = jax.tree_util.tree_map(
+            jax.lax.stop_gradient, params
+        )
+        self.guidance = guidance
+        self.prompts_local = prompts_local
+        self.prompts_global = prompts_global
+        self.cfg = cfg
+        self.mesh_cfg = mesh_cfg
+        self.sampler = RandomCameraSampler(cfg.camera, seed=seed)
+        self.rng = np.random.default_rng(seed)
+        self.tx = optax.adam(cfg.lr)
+        self.opt_state = self.tx.init(params)
+        self.control_sdf: Optional[Array] = None
+        self.global_step = 0
+        self.metrics: List[Dict[str, float]] = []
+        self._step_fns: Dict[bool, Any] = {}
+
+        # Frozen-field SDF at grid vertices: the surface-aware recon target.
+        self.recon_sdf = geometry.field.forward_sdf_chunked(
+            self.frozen_params, geometry.grid_pos
+        )
+
+    def _make_step(self, use_global: bool):
+        cfg = self.cfg
+        geometry = self.geometry
+        field = self.field
+        part = self.partition
+        guidance = self.guidance
+        mesh_cfg = self.mesh_cfg
+        grid_pos = geometry.grid_pos
+        nv = grid_pos.shape[0]
+
+        h, w = cfg.camera.height, cfg.camera.width
+        from youreditableavatar_tpu.ops.gaussian_raster.types import (
+            RasterCamera,
+        )
+
+        def step(params, opt_state, cam_l_arr, cam_g_arr, cond, uncond, key,
+                 weights, min_t, max_t, control_sdf):
+            cam_l = RasterCamera(*cam_l_arr, width=w, height=h)
+            cam_g = RasterCamera(*cam_g_arr, width=w, height=h)
+
+            def loss_fn(p):
+                mt = geometry.part_isosurface(p, part)
+                maps = render_part_maps(
+                    part.keep_mesh, mt, cam_l,
+                    cam_g if use_global else None, mesh_cfg,
+                )
+                normal_img = (
+                    maps["global_comp_normal"] if use_global
+                    else maps["local_comp_normal"]
+                )
+                sds = guidance(
+                    normal_img[None], cond, uncond, key, min_t, max_t
+                )
+                loss = weights["sds"] * sds["loss_sds"]
+
+                # Surface-aware recon: keep-region vertices must match the
+                # frozen field (`humanedit.py:198-204`, `forward_field`
+                # recon branch).
+                k_idx = jax.random.randint(
+                    key, (cfg.recon_points,), 0, nv
+                )
+                live = field.forward_sdf(p, grid_pos[k_idx])
+                frozen = self.recon_sdf[k_idx]
+                keep_w = (~part.live_vert_mask[k_idx]).astype(jnp.float32)
+                loss_recon = jnp.sum(keep_w * (live - frozen) ** 2)
+                loss = loss + weights["recon"] * loss_recon
+
+                # HumanNorm control-SDF on the edit region (snapshotted live
+                # field after warmup).
+                loss_ctrl = jnp.where(
+                    weights["control"] > 0,
+                    jnp.sum(
+                        part.live_vert_mask[k_idx].astype(jnp.float32)
+                        * (live - control_sdf[k_idx]) ** 2
+                    ),
+                    0.0,
+                )
+                loss = loss + weights["control"] * loss_ctrl
+
+                loss_nc = normal_consistency(mt)
+                loss = loss + weights["nc"] * loss_nc
+                return loss, {
+                    "sds": sds["loss_sds"],
+                    "recon": loss_recon,
+                    "control": loss_ctrl,
+                    "nc": loss_nc,
+                }
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, aux
+
+        return jax.jit(step)
+
+    def train_step(self, key: jax.Array) -> Dict[str, float]:
+        cfg = self.cfg
+        step_i = self.global_step
+        batch = self.sampler.sample(step_i)
+        cam_l = batch.local[0].raster_camera()
+        cam_g = batch.global_[0].raster_camera()
+
+        w_local = C(cfg.lambda_sds, 0, step_i)
+        use_global = self.rng.random() >= w_local
+        prompts = (
+            self.prompts_global
+            if use_global and self.prompts_global is not None
+            else self.prompts_local
+        )
+        cond, uncond = prompts.get_text_embeddings(
+            batch.elevation_deg[:1], batch.azimuth_deg[:1]
+        )
+
+        # Snapshot the control SDF at the warmup boundary.
+        if step_i == cfg.start_sdf_loss_step:
+            self.control_sdf = np.asarray(
+                self.geometry.field.forward_sdf_chunked(
+                    self.params, self.geometry.grid_pos
+                )
+            )
+
+        weights = {
+            "sds": jnp.asarray(
+                C(cfg.lambda_sds_global if use_global else cfg.lambda_sds, 0,
+                  step_i),
+                jnp.float32,
+            ),
+            "recon": jnp.asarray(
+                C(cfg.lambda_sdf_recon, 0, step_i), jnp.float32
+            ),
+            "control": jnp.asarray(
+                C(cfg.lambda_sdf_control, 0, step_i)
+                if self.control_sdf is not None else 0.0,
+                jnp.float32,
+            ),
+            "nc": jnp.asarray(
+                C(cfg.lambda_normal_consistency, 0, step_i), jnp.float32
+            ),
+        }
+        min_t, max_t = self.guidance.timestep_range(0, step_i)
+        ctrl = jnp.asarray(
+            self.control_sdf
+            if self.control_sdf is not None
+            else np.zeros(self.geometry.grid_pos.shape[0], np.float32)
+        )
+
+        if use_global not in self._step_fns:
+            self._step_fns[use_global] = self._make_step(use_global)
+        step_fn = self._step_fns[use_global]
+        cam_l_arr = (cam_l.viewmat, cam_l.fx, cam_l.fy, cam_l.cx, cam_l.cy)
+        cam_g_arr = (cam_g.viewmat, cam_g.fx, cam_g.fy, cam_g.cx, cam_g.cy)
+        self.params, self.opt_state, loss, aux = step_fn(
+            self.params, self.opt_state, cam_l_arr, cam_g_arr,
+            jnp.asarray(cond), jnp.asarray(uncond), key, weights,
+            jnp.asarray(min_t), jnp.asarray(max_t), ctrl,
+        )
+        self.global_step += 1
+        rec = {"loss": float(loss), **{k: float(v) for k, v in aux.items()}}
+        if step_i % cfg.log_every == 0:
+            self.metrics.append({"step": step_i, **rec})
+        return rec
+
+    def train(self, key: jax.Array, num_steps: Optional[int] = None):
+        n = num_steps or self.cfg.max_steps
+        keys = jax.random.split(key, n)
+        for i in range(n):
+            self.train_step(keys[i])
+        return self.params

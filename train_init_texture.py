@@ -1,0 +1,36 @@
+#!/usr/bin/env python
+"""Init-texture CLI (reference surface: `train_init_texture.py:8-43`):
+stage-2 appearance fit over COLMAP-posed frames + region localization."""
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--init_mesh", required=True)
+    p.add_argument("--source_path", required=True,
+                   help="COLMAP dataset root (sparse/ + images/)")
+    p.add_argument("--out", default="outputs/init_texture")
+    p.add_argument("--seg_prompt", default="the garment")
+    p.add_argument("--iters", type=int, default=4000)
+    p.add_argument("--downscale", type=float, default=1.0)
+    p.add_argument("--tiny", action="store_true")
+    args = p.parse_args(argv)
+
+    from youreditableavatar_tpu.cli.pipeline import (
+        PipelineScale,
+        run_init_texture_stage,
+    )
+    from youreditableavatar_tpu.models.cameras import load_colmap_cameras
+
+    cams = load_colmap_cameras(args.source_path, downscale=args.downscale)
+    scale = PipelineScale.tiny() if args.tiny else PipelineScale()
+    arts = run_init_texture_stage(
+        args.out, args.init_mesh, cams, scale,
+        seg_prompt=args.seg_prompt, fit_iters=args.iters,
+    )
+    print(arts)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,445 @@
+"""End-to-end pipeline driver (the `run.sh` role) + per-stage entry points.
+
+Mirrors the reference's 4-stage file-mediated flow (`run.sh:1-99`):
+
+  stage 0/1 (spatial):  body mesh → SDF init ckpt → (optional SDS edit) →
+                        init_mesh.npy / edit_mesh.npy
+  stage 2  (init tex):  init_mesh.npy + posed frames → TetGS appearance fit →
+                        probe renders → editing_region_info.npy (localization)
+  stage 4  (edit tex):  edit_mesh.npy + keep Gaussians → progressive inpaint
+                        → blend images → 3D refine → final turntable
+
+Every stage reads/writes the same `.npy` artifact schemas as the reference,
+so stages can be re-run in isolation (§5.3's file-mediated recovery
+property). `run_synthetic_pipeline` exercises the whole chain on generated
+data with stub diffusion backends — the executable smoke of SURVEY §4(d).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from youreditableavatar_tpu.data.camera_sampler import (
+    RandomCameraConfig,
+    RandomCameraSampler,
+)
+from youreditableavatar_tpu.guidance import (
+    SDSConfig,
+    SDSGuidance,
+    StubDiffusionPrior,
+    StubPromptEncoder,
+)
+from youreditableavatar_tpu.guidance.prompts import PromptProcessor
+from youreditableavatar_tpu.guidance.stub import StubInpainter
+from youreditableavatar_tpu.models.geometry import GeometryBudgets, TetGeometry
+from youreditableavatar_tpu.models.sdf import SDFField, SDFFieldConfig
+from youreditableavatar_tpu.models.tetgs import (
+    build_tetgs,
+    extract_keep_gaussians,
+    load_tetgs,
+    save_tetgs,
+)
+from youreditableavatar_tpu.models.tetgs_edit import build_edit_tetgs
+from youreditableavatar_tpu.models.textured_mesh import TexturedMeshModel
+from youreditableavatar_tpu.ops.gaussian_raster import RasterizeConfig
+from youreditableavatar_tpu.ops.hashgrid import HashGridConfig
+from youreditableavatar_tpu.ops.marching_tets import make_tet_grid, marching_tets
+from youreditableavatar_tpu.ops.mesh_raster import MeshRasterConfig
+from youreditableavatar_tpu.stages.edit_texture import (
+    InpaintConfig,
+    InpaintTrainer,
+    RefineConfig,
+    RefineTrainer,
+)
+from youreditableavatar_tpu.stages.export import (
+    export_edit_mesh,
+    export_init_mesh,
+    load_edit_mesh,
+    load_editing_region_info,
+    load_init_mesh,
+)
+from youreditableavatar_tpu.stages.init_texture import (
+    InitTextureConfig,
+    TetGSInitTrainer,
+)
+from youreditableavatar_tpu.stages.localization import (
+    HeuristicSegmenter,
+    LocalizationConfig,
+    LocalMeshEditing,
+)
+from youreditableavatar_tpu.stages.spatial import (
+    HumanEditConfig,
+    HumanEditTrainer,
+    ShapeInitConfig,
+    ShapeInitializer,
+)
+from youreditableavatar_tpu.utils.checkpoint import load_state, save_state
+from youreditableavatar_tpu.utils.profiling import MetricsLogger
+from youreditableavatar_tpu.utils.saving import save_image, save_video
+
+
+@dataclasses.dataclass
+class PipelineScale:
+    """Sizing knobs; `tiny()` runs the whole chain in minutes on CPU."""
+
+    grid_res: int = 64
+    image_hw: int = 512
+    sdf_iters: int = 15000
+    normal_iters: int = 501
+    edit_steps: int = 10000
+    fit_iters: int = 4000
+    inpaint_views: int = 32
+    turntable_views: int = 60
+    refine_iters: int = 2000
+    budgets: GeometryBudgets = dataclasses.field(
+        default_factory=GeometryBudgets
+    )
+    raster: RasterizeConfig = dataclasses.field(
+        default_factory=lambda: RasterizeConfig()
+    )
+    mesh_raster: MeshRasterConfig = dataclasses.field(
+        default_factory=lambda: MeshRasterConfig()
+    )
+    hashgrid: HashGridConfig = dataclasses.field(
+        default_factory=HashGridConfig
+    )
+
+    @staticmethod
+    def tiny() -> "PipelineScale":
+        return PipelineScale(
+            grid_res=10,
+            image_hw=64,
+            sdf_iters=200,
+            normal_iters=3,
+            edit_steps=4,
+            fit_iters=30,
+            inpaint_views=3,
+            turntable_views=4,
+            refine_iters=10,
+            budgets=GeometryBudgets(
+                mt_verts=4096, mt_faces=8192, compact=4096,
+                subdiv_mid=16384, fine_mt_verts=16384, fine_mt_faces=32768,
+            ),
+            raster=RasterizeConfig(
+                backend="auto", pair_budget=1 << 13, tile_capacity=512
+            ),
+            mesh_raster=MeshRasterConfig(
+                backend="auto", pair_budget=1 << 14, tile_capacity=2048
+            ),
+            hashgrid=HashGridConfig(
+                n_levels=4, n_features_per_level=2, log2_hashmap_size=13,
+                base_resolution=4, per_level_scale=1.5,
+            ),
+        )
+
+
+def _field(scale: PipelineScale) -> SDFField:
+    return SDFField(
+        SDFFieldConfig(grid=scale.hashgrid, sdf_bias="sphere",
+                       sdf_bias_radius=0.4)
+    )
+
+
+def _cam_cfg(scale: PipelineScale, **kw) -> RandomCameraConfig:
+    base = dict(
+        height=scale.image_hw, width=scale.image_hw,
+        camera_distance_range=(1.6, 1.8), elevation_range=(-5, 10),
+        fovy_range=(40, 45),
+    )
+    base.update(kw)
+    return RandomCameraConfig(**base)
+
+
+def run_spatial_stage(
+    out_dir: str,
+    body_verts: np.ndarray,
+    body_faces: np.ndarray,
+    edit_prompt: str,
+    scale: PipelineScale,
+    seed: int = 0,
+    editing_region_info: Optional[Dict] = None,
+) -> Dict[str, str]:
+    """Stages 0+1: SDF init → (SDS edit over the localized region) → exports.
+
+    Without `editing_region_info` only the init runs (geometry-init mode,
+    max_steps=0 — `configs/geometry-init.yaml`) and `init_mesh.npy` is
+    exported. With it, the SDS edit runs and `edit_mesh.npy` is exported.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    metrics = MetricsLogger(out_dir)
+    key = jax.random.PRNGKey(seed)
+    field = _field(scale)
+    geometry = TetGeometry(field, scale.grid_res, scale.budgets)
+
+    init_cfg = ShapeInitConfig(
+        sdf_iters=scale.sdf_iters,
+        normal_iters=scale.normal_iters,
+        sdf_points_per_iter=min(40000, 8192 if scale.grid_res < 32 else 40000),
+        sdf_pool_size=min(2_000_000, 100_000 if scale.grid_res < 32 else
+                          2_000_000),
+        normal_height=scale.image_hw, normal_width=scale.image_hw,
+        normal_points_per_iter=4096,
+        camera=_cam_cfg(scale),
+    )
+    initializer = ShapeInitializer(field, geometry, init_cfg)
+    key, k_init = jax.random.split(key)
+    params, info = initializer.run(
+        body_verts, body_faces, k_init, scale.mesh_raster
+    )
+    ckpt_path = os.path.join(out_dir, "initial_checkpoint")
+    save_state(ckpt_path, params, step=0)
+    metrics.log(0, stage="shape_init", final_loss=info["losses"][-1])
+
+    mt = geometry.isosurface(params)
+    init_mesh_path = os.path.join(out_dir, "init_mesh.npy")
+    export_init_mesh(init_mesh_path, mt)
+    artifacts = {"ckpt": ckpt_path, "init_mesh": init_mesh_path}
+
+    if editing_region_info is not None:
+        face_mask = np.zeros(mt.faces.shape[0], bool)
+        src = np.asarray(editing_region_info["editing_mask_faces"]) > 0.5
+        face_mask[: len(src)] = src[: len(face_mask)]
+        part = geometry.partition_init(
+            params, jnp.asarray(face_mask) & mt.faces_valid, frozen_mt=mt
+        )
+        prior = StubDiffusionPrior()
+        guidance = SDSGuidance(prior, SDSConfig())
+        enc = StubPromptEncoder()
+        prompts = PromptProcessor(
+            edit_prompt, "low quality", enc,
+            cache_dir=os.path.join(out_dir, ".cache"), model_name="stub",
+        )
+        edit_cfg = HumanEditConfig(
+            max_steps=scale.edit_steps,
+            camera=_cam_cfg(scale),
+            recon_points=4096,
+            start_sdf_loss_step=max(scale.edit_steps // 2, 1),
+        )
+        trainer = HumanEditTrainer(
+            field, geometry, part, params, guidance, prompts, prompts,
+            edit_cfg, scale.mesh_raster, seed=seed,
+        )
+        key, k_edit = jax.random.split(key)
+        params = trainer.train(k_edit)
+        for rec in trainer.metrics:
+            metrics.log(rec["step"], stage="human_edit", **{
+                k: v for k, v in rec.items() if k != "step"
+            })
+        save_state(os.path.join(out_dir, "edited_checkpoint"), params,
+                   step=scale.edit_steps)
+        upd = geometry.part_isosurface(params, part)
+        edit_mesh_path = os.path.join(out_dir, "edit_mesh.npy")
+        export_edit_mesh(edit_mesh_path, part.keep_mesh, upd)
+        artifacts["edit_mesh"] = edit_mesh_path
+    metrics.close()
+    return artifacts
+
+
+def run_init_texture_stage(
+    out_dir: str,
+    init_mesh_path: str,
+    cameras,
+    scale: PipelineScale,
+    seg_prompt: str = "the garment",
+    segmenter=None,
+    vertex_colors: Optional[np.ndarray] = None,
+    fit_iters: Optional[int] = None,
+) -> Dict[str, str]:
+    """Stage 2 + localization: appearance fit, probe renders, region masks."""
+    os.makedirs(out_dir, exist_ok=True)
+    mesh = load_init_mesh(init_mesh_path)
+    verts = np.asarray(mesh["vertices"], np.float32)
+    faces = np.asarray(mesh["faces"], np.int64)
+    f2t = np.asarray(mesh["face_to_global_tet_idx"], np.int64)
+
+    binding, params = build_tetgs(
+        verts, faces, vertex_colors, f2t, sh_levels=2
+    )
+    cfg = InitTextureConfig(
+        num_iterations=fit_iters or scale.fit_iters,
+        raster=scale.raster,
+        sh_warmup_every=max((fit_iters or scale.fit_iters) // 2, 1),
+    )
+    trainer = TetGSInitTrainer(binding, params, cameras, cfg)
+    params = trainer.train()
+    ckpt = os.path.join(out_dir, "tetgs_init_last.npz")
+    save_tetgs(ckpt, binding, params)
+
+    # Probe renders for localization (`refine.py:377-427` 9-view probe).
+    sampler = RandomCameraSampler(_cam_cfg(scale), seed=1)
+    probe_cams = []
+    for az in (0.0, 120.0, 240.0):
+        batch = sampler.sample()
+        cam = batch.global_[0]
+        probe_cams.append(cam)
+    probe_images = trainer.render_views(probe_cams)
+    for i, img in enumerate(probe_images):
+        save_image(os.path.join(out_dir, f"probe_{i:02d}.png"), img)
+
+    seg = segmenter or HeuristicSegmenter(mode="upper")
+    loc = LocalMeshEditing(
+        verts, faces, seg,
+        LocalizationConfig(dilate_iters=2, erode_iters=2,
+                           mesh_cfg=scale.mesh_raster),
+    )
+    region_path = os.path.join(out_dir, "editing_region_info.npy")
+    loc.localize(probe_cams, probe_images, seg_prompt, region_path)
+    return {
+        "tetgs_init": ckpt,
+        "editing_region_info": region_path,
+    }
+
+
+def run_edit_texture_stage(
+    out_dir: str,
+    edit_mesh_path: str,
+    tetgs_init_path: str,
+    prompt: str,
+    scale: PipelineScale,
+    inpainter=None,
+    seed: int = 0,
+) -> Dict[str, str]:
+    """Stage 4: progressive inpaint + refine, final turntable renders."""
+    os.makedirs(out_dir, exist_ok=True)
+    key = jax.random.PRNGKey(seed)
+    edit = load_edit_mesh(edit_mesh_path)
+    verts = np.asarray(edit["vertices"], np.float32)
+    faces = np.asarray(edit["faces"], np.int64)
+    nkv = int(edit["keep_vertices_num"])
+    nkf = int(edit["keep_faces_num"])
+    editing_mask = np.asarray(edit["editing_mask"]) > 0
+
+    # Keep gaussians from the stage-2 model by tet-id intersection.
+    binding0, params0, _ = load_tetgs(tetgs_init_path)
+    keep_tets = np.asarray(edit["face_to_global_tet_idx"][:nkf])
+    keep = extract_keep_gaussians(binding0, params0, keep_tets)
+
+    # Edit sub-mesh (re-indexed).
+    sub_faces = faces[nkf:] - nkv
+    edit_verts = verts[nkv:]
+    ok = (sub_faces >= 0).all(1) & (sub_faces < len(edit_verts)).all(1)
+    eb, ep = build_edit_tetgs(edit_verts, sub_faces[ok], keep, sh_levels=1)
+
+    tm = TexturedMeshModel(
+        verts, faces, editing_mask, scale.mesh_raster
+    )
+    sampler = RandomCameraSampler(_cam_cfg(scale), seed=seed + 2)
+    cams = []
+    for i in range(scale.inpaint_views):
+        cams.append(sampler.sample().global_[0])
+    inp_cfg = InpaintConfig(
+        iters_first=scale.fit_iters // 4 or 1,
+        iters_second=scale.fit_iters // 5 or 1,
+        iters_rest=scale.fit_iters // 10 or 1,
+        raster=scale.raster,
+    )
+    trainer = InpaintTrainer(
+        eb, ep, tm, cams, inpainter or StubInpainter(), prompt,
+        "low quality", inp_cfg,
+    )
+    key, k1, k2 = jax.random.split(key, 3)
+    ep = trainer.inpaint_training(k1)
+
+    turn = [sampler.sample().global_[0] for _ in range(scale.turntable_views)]
+    blends = trainer.prepare_refine_guidance(turn, k2)
+    blend_dir = os.path.join(out_dir, "blend_images")
+    for i, b in enumerate(blends):
+        save_image(os.path.join(blend_dir, f"{i:04d}.png"), b)
+
+    rcfg = RefineConfig(
+        num_iterations=scale.refine_iters, raster=scale.raster, sh_levels=2,
+        key_views=tuple(
+            k for k in (0, 14, 29, 44) if k < len(turn)
+        ),
+    )
+    refiner = RefineTrainer(eb, ep, turn, blends, rcfg)
+    refiner.refined_editing(seed=seed)
+    finals = refiner.validate(turn)
+    final_dir = os.path.join(out_dir, "validation_refine")
+    for i, img in enumerate(finals):
+        save_image(os.path.join(final_dir, f"frame{i:04d}.png"), img)
+    if len(finals) > 1:
+        save_video(os.path.join(out_dir, "validation_refine.mp4"), finals,
+                   fps=10)
+    return {"blend_dir": blend_dir, "final_dir": final_dir}
+
+
+def run_synthetic_pipeline(out_dir: str, scale: Optional[PipelineScale] = None,
+                           prompt: str = "a red jacket") -> Dict[str, str]:
+    """The full chain on synthetic data (sphere body, stub priors)."""
+    scale = scale or PipelineScale.tiny()
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+
+    # Synthetic "reconstructed body": marching-tets sphere.
+    gv, gt = make_tet_grid(max(scale.grid_res, 10))
+    pos = jnp.asarray(gv)
+    sdf = jnp.linalg.norm(pos * jnp.asarray([1.0, 1.0, 0.7]), axis=-1) - 0.3
+    mt = marching_tets(pos, sdf, jnp.asarray(gt), 8192, 16384)
+    nv, nf = int(mt.num_verts), int(mt.num_faces)
+    body_verts = np.asarray(mt.verts)[:nv]
+    body_faces = np.asarray(mt.faces)[np.asarray(mt.faces_valid)][:nf]
+
+    # Stage 0: SDF init + init_mesh export.
+    sp_dir = os.path.join(out_dir, "spatial")
+    arts = run_spatial_stage(
+        sp_dir, body_verts, body_faces, prompt, scale
+    )
+
+    # Stage 2 needs posed "GT frames": render the init mesh's gaussians from
+    # synthetic cameras with procedural colors.
+    mesh = load_init_mesh(arts["init_mesh"])
+    colors = np.clip(
+        0.5 + 0.8 * np.asarray(mesh["vertices"], np.float32), 0.05, 0.95
+    )
+    sampler = RandomCameraSampler(_cam_cfg(scale), seed=7)
+    from youreditableavatar_tpu.models.tetgs import (
+        build_tetgs as _bt,
+        gaussian_arrays as _ga,
+    )
+    from youreditableavatar_tpu.ops.gaussian_raster import render_gaussians
+
+    b_gt, p_gt = _bt(
+        np.asarray(mesh["vertices"], np.float32),
+        np.asarray(mesh["faces"], np.int64), colors,
+        np.asarray(mesh["face_to_global_tet_idx"], np.int64), sh_levels=2,
+    )
+    gt_cams = []
+    m_, s_, q_, o_, sh_ = _ga(b_gt, p_gt)
+    rc = dataclasses.replace(scale.raster, sh_degree=0)
+    for i in range(6):
+        cam = sampler.sample().global_[0]
+        img = render_gaussians(
+            m_, s_, q_, o_, sh_, cam.raster_camera(), rc, jnp.ones(3)
+        )["image"]
+        cam.image = np.asarray(jnp.clip(img, 0, 1))
+        gt_cams.append(cam)
+
+    it_dir = os.path.join(out_dir, "init_texture")
+    arts2 = run_init_texture_stage(
+        it_dir, arts["init_mesh"], gt_cams, scale, vertex_colors=colors
+    )
+
+    # Stage 1 (edit) with the localized region, then export edit mesh.
+    region = load_editing_region_info(arts2["editing_region_info"])
+    arts3 = run_spatial_stage(
+        sp_dir, body_verts, body_faces, prompt, scale,
+        editing_region_info=region,
+    )
+
+    # Stage 4.
+    et_dir = os.path.join(out_dir, "edit_texture")
+    arts4 = run_edit_texture_stage(
+        et_dir, arts3["edit_mesh"], arts2["tetgs_init"], prompt, scale
+    )
+    return {
+        **arts, **arts2, **arts3, **arts4,
+        "elapsed_s": str(round(time.time() - t0, 1)),
+    }

@@ -1,0 +1,389 @@
+"""Stage 4 — texture editing: progressive inpainting + 3D refinement.
+
+Capability parity with `tetgs_texture/paint_2dgs.py:33-689` (TetGS_Inpaint)
+and `tetgs_texture/refine_3dgs.py:24-449` (TetGS_Refine):
+
+  * `InpaintTrainer.inpaint_training`: walk the 3-ring camera set (8/12/12,
+    `paint_2dgs.py:163-166`); per view render masks/normals with the
+    textured-mesh model, call the Inpainter backend (SDXL+ControlNet-Union in
+    the reference; any `guidance.base.Inpainter` here — views 0/1 use the
+    joint front/back path `inpaint_utils.py:80-186`), composite the guidance
+    image, fit the edit-Gaussian colors/opacity against it (iteration ladder
+    1000/800/400 `paint_2dgs.py:61-63`), then roll back Gaussians outside
+    the newly painted faces (`:538-557`).
+  * `InpaintTrainer.prepare_refine_guidance`: 60 turntable renders, img2img
+    tile-refined (strength 0.4, `sdxl_tile_refiner.py:66-67`), blended
+    per-pixel between edit and keep renders (`paint_2dgs.py:616-689`).
+  * `RefineTrainer.refined_editing`: promote the 2D disks to the 3D model
+    and train on the blended views (l1+dssim, 10× weight on the 4 key views
+    {0,14,29,44} `refine_3dgs.py:334-335`, scaling regularizer).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import Array
+
+from youreditableavatar_tpu.guidance.base import Inpainter
+from youreditableavatar_tpu.models.cameras import GSCamera
+from youreditableavatar_tpu.models.optimizer import OptimizationParams, \
+    expon_lr_schedule
+from youreditableavatar_tpu.models.tetgs_edit import (
+    EditBinding,
+    EditParams,
+    full_gaussian_arrays,
+    promote_to_3d,
+    render_edit_tetgs,
+    rollback_outside_faces,
+)
+from youreditableavatar_tpu.models.textured_mesh import TexturedMeshModel
+from youreditableavatar_tpu.ops.gaussian_raster import (
+    RasterCamera,
+    RasterizeConfig,
+)
+from youreditableavatar_tpu.ops.image_losses import l1_dssim
+from youreditableavatar_tpu.utils.registry import register
+
+
+@dataclasses.dataclass(frozen=True)
+class InpaintConfig:
+    # Iteration ladder per view group (`paint_2dgs.py:61-63`).
+    iters_first: int = 1000
+    iters_second: int = 800
+    iters_rest: int = 400
+    first_group: int = 4
+    second_group: int = 4
+    lr_sh: float = 0.0025
+    lr_opacity: float = 0.05
+    inpaint_steps: int = 30
+    white_background: bool = True
+    raster: RasterizeConfig = dataclasses.field(
+        default_factory=lambda: RasterizeConfig()
+    )
+
+
+def _edit_param_mask(train_positions: bool = False,
+                     train_geometry: bool = False) -> EditParams:
+    """Which EditParams leaves train during inpainting (colors + opacity)."""
+    return EditParams(
+        delta=train_positions,
+        log_scales=train_geometry,
+        quats=train_geometry,
+        opacity_raw=True,
+        sh_dc=True,
+        sh_rest=True,
+    )
+
+
+def make_edit_optimizer(
+    lr_sh: float, lr_opacity: float, train_mask: EditParams
+) -> optax.GradientTransformation:
+    transforms = {
+        "delta": optax.adam(1.6e-4, eps=1e-15),
+        "log_scales": optax.adam(5e-3, eps=1e-15),
+        "quats": optax.adam(1e-3, eps=1e-15),
+        "opacity_raw": optax.adam(lr_opacity, eps=1e-15),
+        "sh_dc": optax.adam(lr_sh, eps=1e-15),
+        "sh_rest": optax.adam(lr_sh / 20.0, eps=1e-15),
+    }
+    labels = EditParams(
+        delta="delta", log_scales="log_scales", quats="quats",
+        opacity_raw="opacity_raw", sh_dc="sh_dc", sh_rest="sh_rest",
+    )
+    tx = optax.multi_transform(transforms, labels)
+    inv = jax.tree_util.tree_map(lambda m: not m, train_mask)
+    return optax.chain(optax.masked(optax.set_to_zero(), inv), tx)
+
+
+@register("tetgs-inpaint")
+class InpaintTrainer:
+    def __init__(
+        self,
+        binding: EditBinding,
+        params: EditParams,
+        mesh_model: TexturedMeshModel,
+        cameras: Sequence[GSCamera],
+        inpainter: Inpainter,
+        prompt: str,
+        negative_prompt: str = "",
+        cfg: InpaintConfig = InpaintConfig(),
+    ):
+        self.binding = binding
+        self.params = params
+        self.mesh_model = mesh_model
+        self.cameras = list(cameras)
+        self.inpainter = inpainter
+        self.prompt = prompt
+        self.negative_prompt = negative_prompt
+        self.cfg = cfg
+        self.tx = make_edit_optimizer(
+            cfg.lr_sh, cfg.lr_opacity, _edit_param_mask()
+        )
+        self._fit_step = None
+        self.history: List[Dict[str, float]] = []
+
+    def _bg(self):
+        return jnp.ones(3) if self.cfg.white_background else jnp.zeros(3)
+
+    def _make_fit_step(self, height: int, width: int):
+        binding = self.binding
+        rcfg = dataclasses.replace(
+            self.cfg.raster, sh_degree=binding.sh_levels - 1
+        )
+        bg = self._bg()
+        tx = self.tx
+
+        def loss_fn(params, cam_arrs, target, weight):
+            cam = RasterCamera(*cam_arrs, width=width, height=height)
+            out = render_edit_tetgs(binding, params, cam, rcfg, bg)
+            diff = jnp.abs(out["image"] - target)
+            return jnp.sum(diff * weight[..., None]) / (
+                jnp.sum(weight) * 3.0 + 1e-6
+            )
+
+        @jax.jit
+        def step(params, opt_state, cam_arrs, target, weight):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, cam_arrs, target, weight
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return step
+
+    def _iters_for_view(self, idx: int) -> int:
+        if idx < self.cfg.first_group:
+            return self.cfg.iters_first
+        if idx < self.cfg.first_group + self.cfg.second_group:
+            return self.cfg.iters_second
+        return self.cfg.iters_rest
+
+    def inpaint_training(
+        self, key: jax.Array, iters_scale: float = 1.0
+    ) -> EditParams:
+        cfg = self.cfg
+        h = self.cameras[0].height
+        w = self.cameras[0].width
+        if self._fit_step is None:
+            self._fit_step = self._make_fit_step(h, w)
+
+        for vi, gscam in enumerate(self.cameras):
+            key, k_inp = jax.random.split(key)
+            cam = gscam.raster_camera()
+            view = self.mesh_model.render_view(cam)
+            masks = self.mesh_model.prepare_inpaint_masks(view)
+
+            # Current model render (the image being completed).
+            rcfg = dataclasses.replace(
+                cfg.raster, sh_degree=self.binding.sh_levels - 1
+            )
+            current = render_edit_tetgs(
+                self.binding, self.params, cam, rcfg, self._bg()
+            )["image"]
+
+            # Guidance image from the inpainting backend: views 0 and 1 are
+            # the front/back pair, others the normal-conditioned path. With
+            # a stub backend both reduce to the same call signature.
+            guidance = self.inpainter.inpaint(
+                image=current,
+                mask=masks["inpaint_mask_soft"],
+                control_normal=view["comp_normal"],
+                control_repaint=current,
+                prompt=self.prompt,
+                negative_prompt=self.negative_prompt,
+                key=k_inp,
+                steps=cfg.inpaint_steps,
+            )
+            guidance = jnp.clip(jnp.asarray(guidance), 0.0, 1.0)
+            # Composite: keep region from the current render.
+            m = masks["inpaint_mask_soft"][..., None]
+            target = guidance * m + current * (1 - m)
+
+            # Fit the edit gaussians to the composited target inside the
+            # editable coverage.
+            weight = jnp.where(
+                (view["editable"] > 0.5) | (masks["inpaint_mask"] > 0.5),
+                1.0, 0.0,
+            )
+            prev_params = self.params
+            opt_state = self.tx.init(self.params)
+            n_iters = max(1, int(self._iters_for_view(vi) * iters_scale))
+            cam_arrs = (cam.viewmat, cam.fx, cam.fy, cam.cx, cam.cy)
+            params = self.params
+            for _ in range(n_iters):
+                params, opt_state, loss = self._fit_step(
+                    params, opt_state, cam_arrs, target, weight
+                )
+            self.params = params
+
+            # Back-project the newly painted pixels and roll back gaussians
+            # outside the painted face set.
+            painted_px = np.asarray(masks["inpaint_mask"] > 0.5)
+            newly_painted_faces = self.mesh_model.back_project(
+                view, painted_px
+            )
+            # Faces painted in ANY view so far stay; others roll back.
+            total_painted = jnp.asarray(
+                np.asarray(
+                    self.mesh_model.painted[
+                        np.asarray(self.mesh_model.faces)
+                    ].any(1)
+                )
+            )
+            self.params = rollback_outside_faces(
+                self.binding, self.params, prev_params, total_painted
+            )
+            self.history.append(
+                {"view": vi, "loss": float(loss), "iters": n_iters}
+            )
+        return self.params
+
+    def prepare_refine_guidance(
+        self,
+        turntable: Sequence[GSCamera],
+        key: jax.Array,
+        strength: float = 0.4,
+    ) -> List[np.ndarray]:
+        """60 refined + blended guidance images (`paint_2dgs.py:616-689`)."""
+        rcfg = dataclasses.replace(
+            self.cfg.raster, sh_degree=self.binding.sh_levels - 1
+        )
+        out_images = []
+        for i, gscam in enumerate(turntable):
+            key, k = jax.random.split(key)
+            cam = gscam.raster_camera()
+            render = render_edit_tetgs(
+                self.binding, self.params, cam, rcfg, self._bg()
+            )["image"]
+            refined = jnp.clip(
+                jnp.asarray(
+                    self.inpainter.img2img(
+                        render, render, self.prompt, key=k,
+                        strength=strength,
+                    )
+                ), 0, 1,
+            )
+            blend = self.mesh_model.concat_blend_masks(cam)
+            m = blend["edit_mask_soft"][..., None]
+            img = refined * m + render * (1 - m)
+            out_images.append(np.asarray(img))
+        return out_images
+
+
+@dataclasses.dataclass(frozen=True)
+class RefineConfig:
+    num_iterations: int = 2000
+    key_views: Tuple[int, ...] = (0, 14, 29, 44)
+    key_view_weight: float = 10.0
+    dssim_factor: float = 0.2
+    scaling_reg: bool = True
+    white_background: bool = True
+    raster: RasterizeConfig = dataclasses.field(
+        default_factory=lambda: RasterizeConfig()
+    )
+    sh_levels: int = 4
+
+
+@register("tetgs-refine")
+class RefineTrainer:
+    def __init__(
+        self,
+        binding2d: EditBinding,
+        params2d: EditParams,
+        cameras: Sequence[GSCamera],
+        images: Sequence[np.ndarray],
+        cfg: RefineConfig = RefineConfig(),
+    ):
+        self.cfg = cfg
+        self.binding, self.params = promote_to_3d(
+            binding2d, params2d, sh_levels=cfg.sh_levels
+        )
+        self.cameras = list(cameras)
+        self.images = jnp.asarray(np.stack(images), jnp.float32)
+        self.tx = make_edit_optimizer(
+             0.0025, 0.05,
+            _edit_param_mask(train_positions=True, train_geometry=True),
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.losses: List[float] = []
+        self._step = None
+
+    def _make_step(self, height, width):
+        binding = self.binding
+        cfg = self.cfg
+        rcfg = dataclasses.replace(cfg.raster, sh_degree=cfg.sh_levels - 1)
+        bg = jnp.ones(3) if cfg.white_background else jnp.zeros(3)
+        tx = self.tx
+
+        def loss_fn(params, cam_arrs, target, weight):
+            cam = RasterCamera(*cam_arrs, width=width, height=height)
+            out = render_edit_tetgs(binding, params, cam, rcfg, bg)
+            loss = weight * l1_dssim(out["image"], target, cfg.dssim_factor)
+            if cfg.scaling_reg:
+                scales = jnp.exp(params.log_scales)
+                max_v = jnp.max(scales, -1)
+                min_v = jnp.min(scales, -1)
+                ratio = max_v / jnp.maximum(min_v, 1e-12)
+                bad = (ratio > 10.0) & (max_v > 0.1)
+                cnt = jnp.sum(bad)
+                loss = loss + jnp.where(
+                    cnt > 0,
+                    jnp.sum(jnp.where(bad, max_v, 0.0)) / jnp.maximum(cnt, 1),
+                    0.0,
+                )
+            return loss
+
+        @jax.jit
+        def step(params, opt_state, cam_arrs, target, weight):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, cam_arrs, target, weight
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return step
+
+    def refined_editing(
+        self, seed: int = 0, num_iterations: Optional[int] = None
+    ) -> EditParams:
+        cfg = self.cfg
+        n_iter = num_iterations or cfg.num_iterations
+        h, w = self.cameras[0].height, self.cameras[0].width
+        if self._step is None:
+            self._step = self._make_step(h, w)
+        rng = np.random.default_rng(seed)
+        for it in range(n_iter):
+            vi = int(rng.integers(0, len(self.cameras)))
+            cam = self.cameras[vi].raster_camera()
+            weight = jnp.asarray(
+                cfg.key_view_weight if vi in cfg.key_views else 1.0,
+                jnp.float32,
+            )
+            cam_arrs = (cam.viewmat, cam.fx, cam.fy, cam.cx, cam.cy)
+            self.params, self.opt_state, loss = self._step(
+                self.params, self.opt_state, cam_arrs, self.images[vi],
+                weight,
+            )
+            if it % 100 == 0:
+                self.losses.append(float(loss))
+        return self.params
+
+    def validate(self, cameras: Sequence[GSCamera]) -> List[np.ndarray]:
+        """Final turntable renders (`refine_3dgs.py:409-449`)."""
+        rcfg = dataclasses.replace(
+            self.cfg.raster, sh_degree=self.cfg.sh_levels - 1
+        )
+        bg = jnp.ones(3) if self.cfg.white_background else jnp.zeros(3)
+        out = []
+        for cam in cameras:
+            img = render_edit_tetgs(
+                self.binding, self.params, cam.raster_camera(), rcfg, bg
+            )["image"]
+            out.append(np.asarray(jnp.clip(img, 0, 1)))
+        return out

@@ -1,0 +1,129 @@
+"""Artifact saving: image grids, videos, meshes, json/npy.
+
+Capability parity with `tetgs_spatial/utils/saving.py:22-668` (SaverMixin):
+rgb/grayscale grids, image sequences → mp4/gif, ply/obj meshes, npy/json —
+as plain functions (no Lightning mixin).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def _to_uint8(img: np.ndarray) -> np.ndarray:
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, -1)
+    return img
+
+
+def save_image(path: str, img: np.ndarray) -> str:
+    import imageio.v2 as imageio
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imageio.imwrite(path, _to_uint8(img))
+    return path
+
+
+def save_image_grid(
+    path: str,
+    images: Sequence[np.ndarray],
+    cols: Optional[int] = None,
+) -> str:
+    """Tile images (all same shape) into one grid image."""
+    imgs = [_to_uint8(i) for i in images]
+    n = len(imgs)
+    cols = cols or int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    h, w, c = imgs[0].shape
+    grid = np.zeros((rows * h, cols * w, c), np.uint8)
+    for i, im in enumerate(imgs):
+        r, cc = divmod(i, cols)
+        grid[r * h : (r + 1) * h, cc * w : (cc + 1) * w] = im
+    return save_image(path, grid)
+
+
+def save_video(
+    path: str, frames: Sequence[np.ndarray], fps: int = 30
+) -> str:
+    """Image sequence → mp4 (SaverMixin `save_img_sequence`)."""
+    import imageio.v2 as imageio
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    try:
+        with imageio.get_writer(path, fps=fps) as w:
+            for f in frames:
+                w.append_data(_to_uint8(f))
+        return path
+    except (ValueError, ImportError):
+        # No ffmpeg backend in this environment — fall back to GIF.
+        gif = os.path.splitext(path)[0] + ".gif"
+        imageio.mimsave(gif, [_to_uint8(f) for f in frames],
+                        duration=1.0 / fps)
+        return gif
+
+
+def save_ply(
+    path: str,
+    verts: np.ndarray,
+    faces: Optional[np.ndarray] = None,
+    colors: Optional[np.ndarray] = None,
+) -> str:
+    """ASCII PLY mesh/point-cloud writer (no external mesh libs)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    verts = np.asarray(verts, np.float32)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            f.write(
+                "property uchar red\nproperty uchar green\n"
+                "property uchar blue\n"
+            )
+        if faces is not None:
+            f.write(f"element face {len(faces)}\n")
+            f.write("property list uchar int vertex_indices\n")
+        f.write("end_header\n")
+        if colors is not None:
+            cols = _to_uint8(colors)
+            for v, c in zip(verts, cols):
+                f.write(
+                    f"{v[0]} {v[1]} {v[2]} {c[0]} {c[1]} {c[2]}\n"
+                )
+        else:
+            for v in verts:
+                f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        if faces is not None:
+            for tri in np.asarray(faces):
+                f.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")
+    return path
+
+
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for v in np.asarray(verts):
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for tri in np.asarray(faces):
+            f.write(f"f {tri[0]+1} {tri[1]+1} {tri[2]+1}\n")
+    return path
+
+
+def save_json(path: str, payload: Dict) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2, default=float)
+    return path
+
+
+def save_npy(path: str, payload) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.save(path, payload)
+    return path

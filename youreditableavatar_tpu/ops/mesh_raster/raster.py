@@ -215,7 +215,7 @@ def _resolve_xla(pair_cols, starts, counts, ntx, nty, ts, capacity):
 
 def _resolve_kernel(
     starts_ref, counts_ref, pair_hbm, out_ref, *, num_tiles_x: int,
-    tile_size: int,
+    tile_size: int, unroll: int = 1,
 ):
     """Pallas z-buffer resolve. out rows: z, face_id(+1 as f32), l1, l2."""
     tile_id = pl.program_id(0)
@@ -281,7 +281,8 @@ def _resolve_kernel(
                 start_dma(c + 1, jax.lax.rem(c + 1, 2)).start()
 
             return jax.lax.fori_loop(
-                0, CHUNK, functools.partial(face_body, c=c), state
+                0, CHUNK, functools.partial(face_body, c=c), state,
+                unroll=unroll,
             )
 
         init = (
@@ -359,7 +360,8 @@ def rasterize_mesh(
 
         num_t = ntx * nty
         kernel = functools.partial(
-            _resolve_kernel, num_tiles_x=ntx, tile_size=ts
+            _resolve_kernel, num_tiles_x=ntx, tile_size=ts,
+            unroll=1 if cfg.pallas_interpret else CHUNK,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

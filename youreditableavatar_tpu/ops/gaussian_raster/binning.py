@@ -54,24 +54,39 @@ def bin_gaussians(
         (proj.depth, jnp.arange(n, dtype=jnp.int32)), num_keys=2
     )
 
-    counts = proj.tiles_touched[order].astype(jnp.int32)  # (N,) depth-ordered
+    # Pack everything the pair expansion reads into ONE depth-ordered row
+    # matrix: many separate 1-D gathers lower to slow serialized TPU fusions,
+    # one multi-column row gather takes the fast path.
+    packed = jnp.stack(
+        [
+            proj.tiles_touched.astype(jnp.int32),
+            proj.rect_min[:, 0],
+            proj.rect_min[:, 1],
+            jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1),
+            jnp.arange(n, dtype=jnp.int32),
+        ],
+        axis=1,
+    )[order]  # (N, 5) in depth order
+
+    counts = packed[:, 0]
     total = jnp.sum(counts)
 
     # Pair slot p ∈ [0, P) belongs to depth-rank d(p) — the gaussian whose
     # range contains p (scatter+cummax; see ops.segments).
     d_safe, local, valid = range_owner(counts, pair_budget)
     slots = jnp.arange(pair_budget, dtype=jnp.int32)
-    g_safe = order[d_safe]  # original gaussian index
+    pair_rows = packed[d_safe]  # (P, 5) single row gather
+    g_safe = pair_rows[:, 4]  # original gaussian index
 
     # Offset of the slot inside its gaussian's tile rectangle (row-major).
     # Integer div/mod lower poorly on TPU; rect widths < 2^24 so the f32
     # reciprocal path is exact.
-    rect_w = jnp.maximum(proj.rect_max[g_safe, 0] - proj.rect_min[g_safe, 0], 1)
+    rect_w = pair_rows[:, 3]
     row = jnp.floor(
         local.astype(jnp.float32) / rect_w.astype(jnp.float32)
     ).astype(jnp.int32)
-    tx = proj.rect_min[g_safe, 0] + local - row * rect_w
-    ty = proj.rect_min[g_safe, 1] + row
+    tx = pair_rows[:, 1] + local - row * rect_w
+    ty = pair_rows[:, 2] + row
     tile = ty * num_tiles_x + tx
     tile = jnp.where(valid, tile, sentinel).astype(jnp.int32)
 

@@ -7,10 +7,12 @@ TPU-native re-design of `renderCUDA` (`forward.cu:261-374`) and its backward
     VMEM tile (flat pixel p → x = p % 32, y = p // 32), so every per-Gaussian
     update is a handful of full-width VPU ops.
   * Pair-major data layout: the depth-sorted (gaussian, tile) pair list is
-    materialized once as a (16, P_pad) field matrix (field rows = mean_x,
-    mean_y, conic_a/b/c, opacity, r, g, b, 0…; pair columns), with every
-    tile's range chunk-aligned (`pad_tile_ranges`) so 128-pair column blocks
-    slice on lane boundaries. The kernel DMAs (16, 128) blocks into
+    materialized once as (P_pad, 16) rows (fields = mean_x, mean_y,
+    conic_a/b/c, opacity, r, g, b, 0…) and viewed as a flat
+    (P_pad·16/128, 128) matrix — row-major, so a 128-pair chunk is exactly
+    16 contiguous lane-rows and no (P,16)→(16,P) transpose is ever
+    materialized (its VJP alone cost ~8 ms at 512²). Every tile's range is
+    chunk-aligned (`pad_tile_ranges`); the kernel DMAs 16-row blocks into
     double-buffered SMEM and reads per-Gaussian scalars from SMEM
     (dynamic scalar indexing into VMEM does not compile on this target — SMEM
     scalar reads are the supported pattern and what the scalar unit wants).
@@ -59,14 +61,21 @@ def _pixel_coords(tile_id, num_tiles_x: int, tile_size: int):
     return px, py
 
 
+def _field(smem, slot, g, f):
+    """Scalar field f of chunk-local gaussian g from the interleaved SMEM
+    block: flat index g·16+f → (row, lane) in the (16, 128) chunk."""
+    flat = g * NUM_FIELDS + f
+    return smem[slot, flat // LANE, flat % LANE]
+
+
 def _gauss_alpha(smem, slot, g, px, py):
     """Per-pixel alpha of gaussian g (scalars from SMEM chunk row g)."""
-    mx = smem[slot, 0, g]
-    my = smem[slot, 1, g]
-    ca = smem[slot, 2, g]
-    cb = smem[slot, 3, g]
-    cc = smem[slot, 4, g]
-    op = smem[slot, 5, g]
+    mx = _field(smem, slot, g, 0)
+    my = _field(smem, slot, g, 1)
+    ca = _field(smem, slot, g, 2)
+    cb = _field(smem, slot, g, 3)
+    cc = _field(smem, slot, g, 4)
+    op = _field(smem, slot, g, 5)
     dx = px - mx
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -78,7 +87,7 @@ def _gauss_alpha(smem, slot, g, px, py):
 def _forward_kernel(
     starts_ref,  # scalar prefetch: (T,) int32 chunk-aligned range starts
     counts_ref,  # scalar prefetch: (T,) int32 true pair counts
-    pair_hbm,  # (NUM_FIELDS, P_pad) in HBM
+    pair_hbm,  # (P_pad·16/128, 128) flat row-major pair rows in HBM
     out_ref,  # (1, 4, SUB, LANE) VMEM: rows r, g, b, T
     *,
     num_tiles_x: int,
@@ -93,9 +102,12 @@ def _forward_kernel(
 
     def scoped(smem, sems):
         def start_dma(c, slot):
-            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            # 128 pairs × 16 fields = 16 flat lane-rows per chunk.
+            row0 = pl.multiple_of(
+                (start + c * CHUNK) * NUM_FIELDS // LANE, NUM_FIELDS
+            )
             return pltpu.make_async_copy(
-                pair_hbm.at[:, pl.ds(off, CHUNK)],
+                pair_hbm.at[pl.ds(row0, CHUNK * NUM_FIELDS // LANE), :],
                 smem.at[slot],
                 sems.at[slot],
             )
@@ -114,9 +126,9 @@ def _forward_kernel(
             trigger = ok & (test_t < T_EPS)
             contrib = ok & (~trigger)
             w = jnp.where(contrib, alpha * trans, 0.0)
-            cr = smem[slot, 6, g]
-            cg = smem[slot, 7, g]
-            cb_ = smem[slot, 8, g]
+            cr = _field(smem, slot, g, 6)
+            cg = _field(smem, slot, g, 7)
+            cb_ = _field(smem, slot, g, 8)
             return (
                 jnp.where(contrib, test_t, trans),
                 jnp.where(trigger, 1.0, done),
@@ -168,7 +180,7 @@ def _forward_kernel(
 
     pl.run_scoped(
         scoped,
-        smem=pltpu.SMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
+        smem=pltpu.SMEM((2, CHUNK * NUM_FIELDS // LANE, LANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -176,10 +188,10 @@ def _forward_kernel(
 def _backward_kernel(
     starts_ref,  # scalar prefetch: (T,) int32
     counts_ref,  # scalar prefetch: (T,) int32
-    pair_hbm,  # (NUM_FIELDS, P_pad) HBM
+    pair_hbm,  # (P_pad·16/128, 128) flat HBM
     fwd_ref,  # (1, 4, SUB, LANE) VMEM: forward r, g, b, T_final
     cot_ref,  # (1, 4, SUB, LANE) VMEM: cotangents dr, dg, db, dT
-    dpair_hbm,  # out: (NUM_FIELDS, P_pad) HBM per-pair grad columns
+    dpair_hbm,  # out: (P_pad·16/128, 128) flat HBM per-pair grad rows
     *,
     num_tiles_x: int,
     tile_size: int,
@@ -203,9 +215,11 @@ def _backward_kernel(
 
     def scoped(smem, gsm, sems, gsem):
         def start_dma(c, slot):
-            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            row0 = pl.multiple_of(
+                (start + c * CHUNK) * NUM_FIELDS // LANE, NUM_FIELDS
+            )
             return pltpu.make_async_copy(
-                pair_hbm.at[:, pl.ds(off, CHUNK)],
+                pair_hbm.at[pl.ds(row0, CHUNK * NUM_FIELDS // LANE), :],
                 smem.at[slot],
                 sems.at[slot],
             )
@@ -226,17 +240,20 @@ def _backward_kernel(
             a_eff = jnp.where(contrib, alpha, 0.0)
             w = a_eff * trans
 
-            cr = smem[slot, 6, g]
-            cg = smem[slot, 7, g]
-            cb_ = smem[slot, 8, g]
+            cr = _field(smem, slot, g, 6)
+            cg = _field(smem, slot, g, 7)
+            cb_ = _field(smem, slot, g, 8)
             p_r = p_r + w * cr
             p_g = p_g + w * cg
             p_b = p_b + w * cb_
 
-            # dL/dcolor
-            gsm[6, g] = jnp.sum(w * gr)
-            gsm[7, g] = jnp.sum(w * gg)
-            gsm[8, g] = jnp.sum(w * gb)
+            # dL/dcolor (interleaved flat layout, same as the input chunks)
+            gsm[(g * NUM_FIELDS + 6) // LANE, (g * NUM_FIELDS + 6) % LANE] = \
+                jnp.sum(w * gr)
+            gsm[(g * NUM_FIELDS + 7) // LANE, (g * NUM_FIELDS + 7) % LANE] = \
+                jnp.sum(w * gg)
+            gsm[(g * NUM_FIELDS + 8) // LANE, (g * NUM_FIELDS + 8) % LANE] = \
+                jnp.sum(w * gb)
 
             # dL/dα = T·(c·g) − (S·g)/(1−α) − gT·T_final/(1−α), S = C − P_incl
             dot_cg = cr * gr + cg * gg + cb_ * gb
@@ -247,20 +264,25 @@ def _backward_kernel(
                 contrib, trans * dot_cg - (s_dot_g + gt_tf) * inv_om, 0.0
             )
 
-            op = smem[slot, 5, g]
+            op = _field(smem, slot, g, 5)
             gauss = jnp.exp(power)
             raw = op * gauss
             dalpha = jnp.where(raw < ALPHA_CLAMP, dalpha, 0.0)  # 0.99 clamp
             dpower = dalpha * op * gauss
-            ca = smem[slot, 2, g]
-            cb_c = smem[slot, 3, g]
-            cc = smem[slot, 4, g]
-            gsm[0, g] = jnp.sum(dpower * (ca * dx + cb_c * dy))  # d mean_x
-            gsm[1, g] = jnp.sum(dpower * (cc * dy + cb_c * dx))  # d mean_y
-            gsm[2, g] = jnp.sum(dpower * (-0.5 * dx * dx))  # d conic_a
-            gsm[3, g] = jnp.sum(dpower * (-dx * dy))  # d conic_b
-            gsm[4, g] = jnp.sum(dpower * (-0.5 * dy * dy))  # d conic_c
-            gsm[5, g] = jnp.sum(dalpha * gauss)  # d opacity
+            ca = _field(smem, slot, g, 2)
+            cb_c = _field(smem, slot, g, 3)
+            cc = _field(smem, slot, g, 4)
+
+            def gput(f, val):
+                flat = g * NUM_FIELDS + f
+                gsm[flat // LANE, flat % LANE] = val
+
+            gput(0, jnp.sum(dpower * (ca * dx + cb_c * dy)))  # d mean_x
+            gput(1, jnp.sum(dpower * (cc * dy + cb_c * dx)))  # d mean_y
+            gput(2, jnp.sum(dpower * (-0.5 * dx * dx)))  # d conic_a
+            gput(3, jnp.sum(dpower * (-dx * dy)))  # d conic_b
+            gput(4, jnp.sum(dpower * (-0.5 * dy * dy)))  # d conic_c
+            gput(5, jnp.sum(dalpha * gauss))  # d opacity
 
             return (jnp.where(contrib, test_t, trans),
                     jnp.where(trigger, 1.0, done),
@@ -278,9 +300,13 @@ def _backward_kernel(
                 0, CHUNK, functools.partial(gauss_body, c=c), state,
                 unroll=unroll,
             )
-            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            row0 = pl.multiple_of(
+                (start + c * CHUNK) * NUM_FIELDS // LANE, NUM_FIELDS
+            )
             out_dma = pltpu.make_async_copy(
-                gsm, dpair_hbm.at[:, pl.ds(off, CHUNK)], gsem
+                gsm,
+                dpair_hbm.at[pl.ds(row0, CHUNK * NUM_FIELDS // LANE), :],
+                gsem,
             )
             out_dma.start()
             out_dma.wait()
@@ -291,7 +317,8 @@ def _backward_kernel(
         # chunks hold defined data.
         def zero_pad(g, _):
             for f in range(9, NUM_FIELDS):
-                gsm[f, g] = 0.0
+                flat = g * NUM_FIELDS + f
+                gsm[flat // LANE, flat % LANE] = 0.0
             return 0
 
         jax.lax.fori_loop(0, CHUNK, zero_pad, 0)
@@ -307,8 +334,8 @@ def _backward_kernel(
 
     pl.run_scoped(
         scoped,
-        smem=pltpu.SMEM((2, NUM_FIELDS, CHUNK), jnp.float32),
-        gsm=pltpu.SMEM((NUM_FIELDS, CHUNK), jnp.float32),
+        smem=pltpu.SMEM((2, CHUNK * NUM_FIELDS // LANE, LANE), jnp.float32),
+        gsm=pltpu.SMEM((CHUNK * NUM_FIELDS // LANE, LANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
         gsem=pltpu.SemaphoreType.DMA,
     )
@@ -316,6 +343,8 @@ def _backward_kernel(
 
 def _forward_call(pair_rows, starts, counts, ntx, nty, tile_size, interpret):
     num_t = starts.shape[0]
+    p_pad = pair_rows.shape[0]
+    pair_flat = pair_rows.reshape(p_pad * NUM_FIELDS // LANE, LANE)
     # Mosaic only supports unroll ∈ {1, CHUNK}; the full unroll pipelines
     # scalar loads/reductions across gaussians (~2× fwd, ~5× bwd speedup) but
     # would explode interpreter-mode tracing, so interpret keeps unroll=1.
@@ -337,7 +366,7 @@ def _forward_call(pair_rows, starts, counts, ntx, nty, tile_size, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_t, 4, SUB, LANE), jnp.float32),
         interpret=interpret,
-    )(starts, counts, pair_rows)
+    )(starts, counts, pair_flat)
 
 
 def _backward_call(
@@ -345,6 +374,8 @@ def _backward_call(
     interpret,
 ):
     num_t = starts.shape[0]
+    p_pad = pair_rows.shape[0]
+    pair_flat = pair_rows.reshape(p_pad * NUM_FIELDS // LANE, LANE)
     kernel = functools.partial(
         _backward_kernel, num_tiles_x=ntx, tile_size=tile_size,
         unroll=1 if interpret else CHUNK,
@@ -368,11 +399,11 @@ def _backward_call(
     dpair = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(pair_rows.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(pair_flat.shape, jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, pair_rows, fwd_pack, cot_pack)
-    return dpair
+    )(starts, counts, pair_flat, fwd_pack, cot_pack)
+    return dpair.reshape(pair_rows.shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -389,9 +420,9 @@ def composite_tiles_pallas(
     """Pallas compositing over the pair-major layout.
 
     Args:
-      pair_rows: (NUM_FIELDS, P_pad) gathered field columns, depth-ordered
-        with chunk-aligned tile ranges (see `pad_tile_ranges`). Padding
-        columns must be zero (inert: alpha 0).
+      pair_rows: (P_pad, NUM_FIELDS) gathered field rows, depth-ordered
+        with chunk-aligned tile ranges (see `pad_tile_ranges`). Padding rows
+        must be zero (inert: alpha 0).
       starts / counts: (T,) per-tile aligned start + true count.
       pad_valid: (P_pad,) bool — which rows are real pairs (used to mask the
         gradient rows of never-visited chunks).
@@ -437,7 +468,7 @@ def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
     # Rows in chunks the backward sweep never visited hold garbage; the
     # early-exit forward may also skip chunks, but backward runs all chunks
     # up to each tile's count, so masking to real pairs suffices.
-    dpair = jnp.where(pad_valid[None, :], dpair, 0.0)
+    dpair = jnp.where(pad_valid[:, None], dpair, 0.0)
     return dpair, None, None, None
 
 

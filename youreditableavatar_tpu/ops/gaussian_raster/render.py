@@ -118,6 +118,8 @@ def render_gaussians(
         padded_size = cfg.pair_budget + ntx * nty * CHUNK
         pg, pvalid, astart = pad_tile_ranges(binning, CHUNK, padded_size)
         # One packed (N, 16) row per gaussian; padding rows zeroed (inert).
+        # The kernels consume the row-major layout through a flat
+        # (P·16/128, 128) view — no transpose is ever materialized.
         zeros = jnp.zeros_like(proj.opacity)
         fields = jnp.stack(
             [
@@ -129,9 +131,9 @@ def render_gaussians(
             + [zeros] * (NUM_FIELDS - 9),
             axis=1,
         )
-        pair_cols = jnp.where(pvalid[:, None], fields[pg], 0.0).T
+        pair_rows = jnp.where(pvalid[:, None], fields[pg], 0.0)
         rgb_tiles, t_tiles = composite_tiles_pallas(
-            pair_cols, astart, binning.tile_count, pvalid,
+            pair_rows, astart, binning.tile_count, pvalid,
             ntx, nty, ts, cfg.pallas_interpret,
         )
     else:

@@ -111,44 +111,48 @@ def bin_gaussians(
 def pad_tile_ranges(
     binning: TileBinning, chunk: int, padded_size: int
 ) -> tuple[Array, Array, Array]:
-    """Re-lay the sorted pair list so every tile's range starts chunk-aligned.
+    """Chunk-align the sorted pair list: destination index per sorted pair.
 
     The Pallas kernels DMA fixed `chunk`-pair blocks and (in backward) write
     gradient blocks back; aligning each tile's range to a chunk boundary makes
     those blocks tile-exclusive (no write overlap between adjacent tiles) at
     the cost of < chunk padding slots per tile.
 
+    Formulated destination-side: sorted pair p lands at p + shift(tile(p)),
+    where shift = aligned_start − tile_start is the cumulative padding
+    inserted before its tile — nondecreasing in p, so a scatter of the
+    per-tile shifts at each tile's first pair followed by a running max fills
+    it without any large gather (1-D gathers with ~1e5+ indices serialize on
+    TPU; everything here is scatter/cummax/arithmetic, and the caller moves
+    row data with one multi-column scatter on the fast path).
+
+    Requires the tile ranges to tile [0, sum(counts)) contiguously in sort
+    order, which `bin_gaussians` guarantees (sentinel pairs sort to the end).
+
     Returns:
-      padded_gauss: (padded_size,) int32 gaussian index per padded slot
-        (0 where padding — callers mask).
-      padded_valid: (padded_size,) bool.
+      dst: (P,) int32 destination slot of each sorted pair in the padded
+        array; invalid pairs (beyond the true total) get `padded_size` so a
+        `mode="drop"` scatter discards them.
       aligned_start: (T,) int32 chunk-aligned start of each tile's range in
         the padded array (counts are unchanged: binning.tile_count).
+      total: () int32 number of real (non-sentinel) pairs.
     """
     counts = binning.tile_count
+    pair_count = binning.pair_gauss.shape[0]
     aligned = ((counts + chunk - 1) // chunk) * chunk
     aligned_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned)[:-1].astype(jnp.int32)]
     )
-    num_tiles = counts.shape[0]
+    shift_t = aligned_start - binning.tile_start  # nondecreasing over tiles
+    # Empty tiles share tile_start with their successor; scatter-max keeps
+    # the largest (latest tile's) shift, which is the one in effect there.
+    marks = jnp.zeros((pair_count,), jnp.int32).at[binning.tile_start].max(
+        shift_t, mode="drop"
+    )
+    pair_shift = jax.lax.cummax(marks)
+    total = jnp.sum(counts)
+    p = jnp.arange(pair_count, dtype=jnp.int32)
+    dst = jnp.where(p < total, p + pair_shift, padded_size)
+    return dst, aligned_start, total
 
-    slots = jnp.arange(padded_size, dtype=jnp.int32)
-    # Which tile owns padded slot p: last tile with aligned_start <= p —
-    # scatter tile rank at each aligned start + running max (see
-    # bin_gaussians for why not searchsorted). Aligned starts are unique
-    # per occupied tile except empty tiles, which share a start with their
-    # successor; scatter-max keeps the latest tile, matching "last with
-    # start <= p".
-    tgt = jnp.minimum(aligned_start, padded_size)
-    marks = jnp.zeros((padded_size + 1,), jnp.int32).at[tgt].max(
-        jnp.arange(num_tiles, dtype=jnp.int32)
-    )
-    t = jax.lax.cummax(marks[:padded_size])
-    t = jnp.clip(t, 0, num_tiles - 1)
-    local = slots - aligned_start[t]
-    valid = local < counts[t]
-    src = jnp.clip(
-        binning.tile_start[t] + local, 0, binning.pair_gauss.shape[0] - 1
-    )
-    gauss = jnp.where(valid, binning.pair_gauss[src], 0)
-    return gauss, valid, aligned_start
+

@@ -288,7 +288,23 @@ def _backward_kernel(
                     jnp.where(trigger, 1.0, done),
                     p_r, p_g, p_b)
 
-        def chunk_body(c, state):
+        def grad_dma(c):
+            row0 = pl.multiple_of(
+                (start + c * CHUNK) * NUM_FIELDS // LANE, NUM_FIELDS
+            )
+            return pltpu.make_async_copy(
+                gsm,
+                dpair_hbm.at[pl.ds(row0, CHUNK * NUM_FIELDS // LANE), :],
+                gsem,
+            )
+
+        def chunk_cond(carry):
+            c, state = carry
+            done = state[1]
+            return (c < nchunks) & (jnp.min(done) < 0.5)
+
+        def chunk_body(carry):
+            c, state = carry
             slot = jax.lax.rem(c, 2)
             start_dma(c, slot).wait()
 
@@ -300,17 +316,10 @@ def _backward_kernel(
                 0, CHUNK, functools.partial(gauss_body, c=c), state,
                 unroll=unroll,
             )
-            row0 = pl.multiple_of(
-                (start + c * CHUNK) * NUM_FIELDS // LANE, NUM_FIELDS
-            )
-            out_dma = pltpu.make_async_copy(
-                gsm,
-                dpair_hbm.at[pl.ds(row0, CHUNK * NUM_FIELDS // LANE), :],
-                gsem,
-            )
+            out_dma = grad_dma(c)
             out_dma.start()
             out_dma.wait()
-            return state
+            return c + 1, state
 
         # Rows 9..15 of the grad rows are padding (their cotangents are
         # discarded by the pack's VJP); zero them once up front so DMA'd
@@ -330,7 +339,32 @@ def _backward_kernel(
             jnp.zeros((SUB, LANE), jnp.float32),
             jnp.zeros((SUB, LANE), jnp.float32),
         )
-        jax.lax.fori_loop(0, nchunks, chunk_body, init)
+        # Same chunk-level early exit as the forward: once every pixel is
+        # done, all later pairs have zero gradient — stop compositing and
+        # just stream zero blocks for the remaining chunks.
+        c_end, _ = jax.lax.while_loop(
+            chunk_cond, chunk_body, (jnp.int32(0), init)
+        )
+
+        @pl.when(c_end < nchunks)
+        def _():
+            start_dma(c_end, jax.lax.rem(c_end, 2)).wait()  # drain in-flight
+
+            def zero_all(g, _):
+                for f in range(0, 9):
+                    flat = g * NUM_FIELDS + f
+                    gsm[flat // LANE, flat % LANE] = 0.0
+                return 0
+
+            jax.lax.fori_loop(0, CHUNK, zero_all, 0)
+
+            def zero_chunk(c, _):
+                dma = grad_dma(c)
+                dma.start()
+                dma.wait()
+                return 0
+
+            jax.lax.fori_loop(c_end, nchunks, zero_chunk, 0)
 
     pl.run_scoped(
         scoped,
@@ -406,12 +440,11 @@ def _backward_call(
     return dpair.reshape(pair_rows.shape)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def composite_tiles_pallas(
     pair_rows: Array,
     starts: Array,
     counts: Array,
-    pad_valid: Array,
     num_tiles_x: int,
     num_tiles_y: int,
     tile_size: int = 32,
@@ -424,21 +457,21 @@ def composite_tiles_pallas(
         with chunk-aligned tile ranges (see `pad_tile_ranges`). Padding rows
         must be zero (inert: alpha 0).
       starts / counts: (T,) per-tile aligned start + true count.
-      pad_valid: (P_pad,) bool — which rows are real pairs (used to mask the
-        gradient rows of never-visited chunks).
     Returns:
       rgb: (T, 3, PIX); final_t: (T, PIX).
+
+    The gradient w.r.t. pair_rows holds garbage in padding rows (the
+    backward kernels visit whole chunks); callers must only read real-pair
+    rows — the VJP of `scatter_pair_rows` does exactly that.
     """
     out, _ = _composite_fwd(
-        pair_rows, starts, counts, pad_valid,
+        pair_rows, starts, counts,
         num_tiles_x, num_tiles_y, tile_size, interpret,
     )
     return out
 
 
-def _composite_fwd(
-    pair_rows, starts, counts, pad_valid, ntx, nty, tile_size, interpret
-):
+def _composite_fwd(pair_rows, starts, counts, ntx, nty, tile_size, interpret):
     if tile_size * tile_size != SUB * LANE:
         raise ValueError("pallas backend requires tile_size == 32")
     packed = _forward_call(
@@ -447,11 +480,11 @@ def _composite_fwd(
     pix = tile_size * tile_size
     rgb = packed[:, :3].reshape(-1, 3, pix)
     final_t = packed[:, 3].reshape(-1, pix)
-    return (rgb, final_t), (pair_rows, starts, counts, pad_valid, packed)
+    return (rgb, final_t), (pair_rows, starts, counts, packed)
 
 
 def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
-    pair_rows, starts, counts, pad_valid, packed = residuals
+    pair_rows, starts, counts, packed = residuals
     drgb, dt = cot
     num_t = starts.shape[0]
     cot_pack = jnp.concatenate(
@@ -465,11 +498,7 @@ def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
         pair_rows, starts, counts, packed, cot_pack, ntx, nty, tile_size,
         interpret,
     )
-    # Rows in chunks the backward sweep never visited hold garbage; the
-    # early-exit forward may also skip chunks, but backward runs all chunks
-    # up to each tile's count, so masking to real pairs suffices.
-    dpair = jnp.where(pad_valid[:, None], dpair, 0.0)
-    return dpair, None, None, None
+    return dpair, None, None
 
 
 composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)

@@ -116,8 +116,14 @@ def render_gaussians(
         )
 
         padded_size = cfg.pair_budget + ntx * nty * CHUNK
-        pg, pvalid, astart = pad_tile_ranges(binning, CHUNK, padded_size)
-        # One packed (N, 16) row per gaussian; padding rows zeroed (inert).
+        dst, astart, total = pad_tile_ranges(binning, CHUNK, padded_size)
+        # Index-side padding: scatter (gaussian+1) ids into the chunk-aligned
+        # layout (cheap 1-D scatter), then ONE row gather from fields with a
+        # zero row prepended — padding slots hit row 0 (inert: alpha 0), and
+        # the gather's VJP is ONE row scatter-add whose padding-slot garbage
+        # lands in the zero row and is sliced off by concatenate's VJP.
+        # Gather/scatter run ~3 GB/s on TPU regardless of row width, so the
+        # design minimizes the NUMBER of row-indexed ops (one per direction).
         # The kernels consume the row-major layout through a flat
         # (P·16/128, 128) view — no transpose is ever materialized.
         zeros = jnp.zeros_like(proj.opacity)
@@ -131,9 +137,15 @@ def render_gaussians(
             + [zeros] * (NUM_FIELDS - 9),
             axis=1,
         )
-        pair_rows = jnp.where(pvalid[:, None], fields[pg], 0.0)
+        fields_ext = jnp.concatenate(
+            [jnp.zeros((1, NUM_FIELDS), fields.dtype), fields], axis=0
+        )
+        pg_padded = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
+            binning.pair_gauss + 1, mode="drop"
+        )
+        pair_rows = fields_ext[pg_padded]
         rgb_tiles, t_tiles = composite_tiles_pallas(
-            pair_rows, astart, binning.tile_count, pvalid,
+            pair_rows, astart, binning.tile_count,
             ntx, nty, ts, cfg.pallas_interpret,
         )
     else:

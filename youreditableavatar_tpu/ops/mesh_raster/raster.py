@@ -355,8 +355,15 @@ def rasterize_mesh(
             num_pairs=jnp.sum(counts),
         )
         padded = cfg.pair_budget + ntx * nty * CHUNK
-        pf, pvalid, astart = pad_tile_ranges(binning, CHUNK, padded)
-        pair_cols = jnp.where(pvalid[:, None], fields[pf], 0.0).T
+        dst, astart, _ = pad_tile_ranges(binning, CHUNK, padded)
+        # Index-side padding + one row gather (see gaussian_raster.render).
+        fields_ext = jnp.concatenate(
+            [jnp.zeros((1, fields.shape[1]), fields.dtype), fields], axis=0
+        )
+        pf_padded = jnp.zeros((padded,), jnp.int32).at[dst].set(
+            face_s + 1, mode="drop"
+        )
+        pair_cols = fields_ext[pf_padded].T
 
         num_t = ntx * nty
         kernel = functools.partial(

@@ -207,11 +207,11 @@ def _backward_kernel(
     gg = cot_ref[0, 1]
     gb = cot_ref[0, 2]
     gt = cot_ref[0, 3]
-    cr_img = fwd_ref[0, 0]
-    cg_img = fwd_ref[0, 1]
-    cb_img = fwd_ref[0, 2]
     t_final = fwd_ref[0, 3]
     gt_tf = gt * t_final  # per-pixel gT·T_final (reused every gaussian)
+    # C·g precomputed once: the suffix dot S·g = C·g − P·g needs only the
+    # RUNNING scalar P·g = Σ w·(c·g), not the three per-channel prefixes.
+    cg_img_dot = fwd_ref[0, 0] * gr + fwd_ref[0, 1] * gg + fwd_ref[0, 2] * gb
 
     def scoped(smem, gsm, sems, gsem):
         def start_dma(c, slot):
@@ -229,7 +229,7 @@ def _backward_kernel(
             start_dma(0, 0).start()
 
         def gauss_body(g, carry, c):
-            trans, done, p_r, p_g, p_b = carry
+            trans, done, pg_dot = carry
             slot = jax.lax.rem(c, 2)
             i = c * CHUNK + g
             alpha, ok, dx, dy, power = _gauss_alpha(smem, slot, g, px, py)
@@ -243,9 +243,6 @@ def _backward_kernel(
             cr = _field(smem, slot, g, 6)
             cg = _field(smem, slot, g, 7)
             cb_ = _field(smem, slot, g, 8)
-            p_r = p_r + w * cr
-            p_g = p_g + w * cg
-            p_b = p_b + w * cb_
 
             # dL/dcolor (interleaved flat layout, same as the input chunks)
             gsm[(g * NUM_FIELDS + 6) // LANE, (g * NUM_FIELDS + 6) % LANE] = \
@@ -257,11 +254,12 @@ def _backward_kernel(
 
             # dL/dα = T·(c·g) − (S·g)/(1−α) − gT·T_final/(1−α), S = C − P_incl
             dot_cg = cr * gr + cg * gg + cb_ * gb
-            s_dot_g = (cr_img - p_r) * gr + (cg_img - p_g) * gg \
-                + (cb_img - p_b) * gb
+            pg_dot = pg_dot + w * dot_cg  # running P·g (inclusive)
             inv_om = 1.0 / (1.0 - a_eff)  # α ≤ 0.99 ⇒ safe
             dalpha = jnp.where(
-                contrib, trans * dot_cg - (s_dot_g + gt_tf) * inv_om, 0.0
+                contrib,
+                trans * dot_cg - (cg_img_dot - pg_dot + gt_tf) * inv_om,
+                0.0,
             )
 
             op = _field(smem, slot, g, 5)
@@ -286,7 +284,7 @@ def _backward_kernel(
 
             return (jnp.where(contrib, test_t, trans),
                     jnp.where(trigger, 1.0, done),
-                    p_r, p_g, p_b)
+                    pg_dot)
 
         def grad_dma(c):
             row0 = pl.multiple_of(
@@ -335,9 +333,7 @@ def _backward_kernel(
         init = (
             jnp.ones((SUB, LANE), jnp.float32),
             jnp.zeros((SUB, LANE), jnp.float32),  # done mask (0/1)
-            jnp.zeros((SUB, LANE), jnp.float32),
-            jnp.zeros((SUB, LANE), jnp.float32),
-            jnp.zeros((SUB, LANE), jnp.float32),
+            jnp.zeros((SUB, LANE), jnp.float32),  # running P·g
         )
         # Same chunk-level early exit as the forward: once every pixel is
         # done, all later pairs have zero gradient — stop compositing and

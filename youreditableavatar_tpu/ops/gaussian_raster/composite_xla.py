@@ -158,7 +158,12 @@ def composite_tiles_xla(
         contrib = (a > 0.0) & (~done[:, None, :]) & (csum == 0)
 
         w = jnp.where(contrib, a * t_before, 0.0)  # (T, chunk, PIX)
-        rgb = rgb + jnp.einsum("tck,tkp->tcp", col, w)
+        # HIGHEST: on TPU the default matmul precision feeds the MXU bf16
+        # inputs — a ~1e-3 relative error on every composited pixel that
+        # breaks parity with the (full-f32) Pallas and CUDA kernels.
+        rgb = rgb + jnp.einsum(
+            "tck,tkp->tcp", col, w, precision=jax.lax.Precision.HIGHEST
+        )
         t_out = t_in * jnp.prod(jnp.where(contrib, one_m, 1.0), axis=1)
         done = done | jnp.any(trigger & ~done[:, None, :], axis=1)
         return (t_out, done, rgb), None
@@ -168,7 +173,13 @@ def composite_tiles_xla(
     rgb0 = jnp.zeros((num_t, 3, pix), jnp.float32)
     chunks = pair_data.reshape(num_t, NUM_FIELDS, cap // chunk, chunk)
     chunks = jnp.moveaxis(chunks, 2, 0)  # (S, T, NUM_FIELDS, chunk)
-    (t_final, _, rgb), _ = jax.lax.scan(step, (t0, done0, rgb0), chunks)
+    # Remat each step: without it autodiff saves the (T, chunk, PIX)
+    # intermediates of every scan step (~chunk× the carry size), which blows
+    # past HBM at realistic tile capacities; with it only the (T, PIX)
+    # carries are stored and the step recomputes in the backward pass.
+    (t_final, _, rgb), _ = jax.lax.scan(
+        jax.checkpoint(step), (t0, done0, rgb0), chunks
+    )
     return rgb, t_final
 
 

@@ -59,7 +59,9 @@ def main():
     proj = pre(means, scales, quats, opac, sh)
     print(f"preprocess:        {timeit(pre, means, scales, quats, opac, sh):7.2f} ms")
 
-    binf = jax.jit(lambda p: bin_gaussians(p, ntx, nty, cfg.pair_budget))
+    binf = jax.jit(
+        lambda p: bin_gaussians(p, ntx, nty, cfg.pair_budget, cfg.tile_size)
+    )
     binning = binf(proj)
     print(f"binning:           {timeit(binf, proj):7.2f} ms")
 

@@ -35,6 +35,7 @@ def bin_gaussians(
     num_tiles_x: int,
     num_tiles_y: int,
     pair_budget: int,
+    tile_size: int = 32,
 ) -> TileBinning:
     """Build depth-sorted per-tile pair lists with a static pair budget.
 
@@ -43,6 +44,13 @@ def bin_gaussians(
     in depth order, then a *stable* single-key sort by tile id — stability
     preserves the depth order within each tile, so the result is exactly
     (tile, depth, gaussian-depth-rank) ordered at ~half the key width.
+
+    Pairs whose tile cannot contain any pixel with α ≥ 1/255 are culled
+    exactly (see the ellipse–rect test below): the support bbox that defines
+    the rect is conservative, so its corner tiles often miss the ellipse
+    entirely; compositing such a pair is a per-pixel no-op, so dropping it
+    changes neither image nor gradients while every downstream P-sized pass
+    (scatter, gather, kernels) shrinks with the pair count.
     """
     n = proj.depth.shape[0]
     num_tiles = num_tiles_x * num_tiles_y
@@ -56,43 +64,83 @@ def bin_gaussians(
 
     # Pack everything the pair expansion reads into ONE depth-ordered row
     # matrix: many separate 1-D gathers lower to slow serialized TPU fusions,
-    # one multi-column row gather takes the fast path.
+    # one multi-column row gather takes the fast path. All columns are f32
+    # (ints here are < 2^24, exactly representable).
+    two_l = 2.0 * jnp.log(jnp.maximum(255.0 * proj.opacity, 1e-6))
     packed = jnp.stack(
         [
-            proj.tiles_touched.astype(jnp.int32),
-            proj.rect_min[:, 0],
-            proj.rect_min[:, 1],
-            jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 1),
-            jnp.arange(n, dtype=jnp.int32),
+            proj.tiles_touched.astype(jnp.float32),
+            proj.rect_min[:, 0].astype(jnp.float32),
+            proj.rect_min[:, 1].astype(jnp.float32),
+            jnp.maximum(
+                proj.rect_max[:, 0] - proj.rect_min[:, 0], 1
+            ).astype(jnp.float32),
+            jnp.arange(n, dtype=jnp.int32).astype(jnp.float32),
+            proj.mean2d[:, 0],
+            proj.mean2d[:, 1],
+            proj.conic[:, 0],
+            proj.conic[:, 1],
+            proj.conic[:, 2],
+            two_l,
         ],
         axis=1,
-    )[order]  # (N, 5) in depth order
+    )[order]  # (N, 11) in depth order
 
-    counts = packed[:, 0]
+    counts = packed[:, 0].astype(jnp.int32)
     total = jnp.sum(counts)
 
     # Pair slot p ∈ [0, P) belongs to depth-rank d(p) — the gaussian whose
     # range contains p (scatter+cummax; see ops.segments).
     d_safe, local, valid = range_owner(counts, pair_budget)
-    slots = jnp.arange(pair_budget, dtype=jnp.int32)
-    pair_rows = packed[d_safe]  # (P, 5) single row gather
-    g_safe = pair_rows[:, 4]  # original gaussian index
+    pair_rows = packed[d_safe]  # (P, 11) single row gather
+    g_safe = pair_rows[:, 4].astype(jnp.int32)  # original gaussian index
 
     # Offset of the slot inside its gaussian's tile rectangle (row-major).
     # Integer div/mod lower poorly on TPU; rect widths < 2^24 so the f32
     # reciprocal path is exact.
     rect_w = pair_rows[:, 3]
-    row = jnp.floor(
-        local.astype(jnp.float32) / rect_w.astype(jnp.float32)
-    ).astype(jnp.int32)
-    tx = pair_rows[:, 1] + local - row * rect_w
+    local_f = local.astype(jnp.float32)
+    row = jnp.floor(local_f / rect_w)
+    tx = pair_rows[:, 1] + local_f - row * rect_w
     ty = pair_rows[:, 2] + row
-    tile = ty * num_tiles_x + tx
-    tile = jnp.where(valid, tile, sentinel).astype(jnp.int32)
+    tile = (ty * num_tiles_x + tx).astype(jnp.int32)
+
+    # Exact ellipse–rect cull: keep the pair iff min over the tile's pixel
+    # box of M(d) = cᵃdx² + 2cᵇdxdy + cᶜdy² is ≤ 2·ln(255·op), i.e. iff some
+    # pixel of the tile passes the kernel's α ≥ 1/255 test. M is convex
+    # (conic PD where valid), so the constrained min is 0 if the mean lies in
+    # the box, else it lies on one of the 4 edges, each a 1-D quadratic
+    # minimized in closed form and clamped to the edge segment.
+    mx, my = pair_rows[:, 5], pair_rows[:, 6]
+    ca, cb, cc = pair_rows[:, 7], pair_rows[:, 8], pair_rows[:, 9]
+    pair_two_l = pair_rows[:, 10]
+    ts_f = jnp.float32(tile_size)
+    x0 = tx * ts_f - mx
+    x1 = x0 + (ts_f - 1.0)  # pixel centers are integer coords
+    y0 = ty * ts_f - my
+    y1 = y0 + (ts_f - 1.0)
+
+    def edge_m(dx_fix, lo, hi, a_fix, a_free, b):
+        # min over dfree ∈ [lo, hi] of a_fix·dx² + 2b·dx·dfree + a_free·dfree²
+        dfree = jnp.clip(-b * dx_fix / jnp.maximum(a_free, 1e-12), lo, hi)
+        return a_fix * dx_fix * dx_fix + 2.0 * b * dx_fix * dfree \
+            + a_free * dfree * dfree
+
+    m_edges = jnp.minimum(
+        jnp.minimum(
+            edge_m(x0, y0, y1, ca, cc, cb), edge_m(x1, y0, y1, ca, cc, cb)
+        ),
+        jnp.minimum(
+            edge_m(y0, x0, x1, cc, ca, cb), edge_m(y1, x0, x1, cc, ca, cb)
+        ),
+    )
+    inside = (x0 <= 0.0) & (x1 >= 0.0) & (y0 <= 0.0) & (y1 >= 0.0)
+    keep = inside | (m_edges <= pair_two_l)
+    tile = jnp.where(valid & keep, tile, sentinel)
 
     # (2) Stable tile sort keeps depth order within each tile.
     tile_s, gauss_s = jax.lax.sort(
-        (tile, g_safe.astype(jnp.int32)), num_keys=1, is_stable=True
+        (tile, g_safe), num_keys=1, is_stable=True
     )
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)

@@ -88,7 +88,7 @@ def render_gaussians(
         camera, cfg.sh_degree, ts, cfg.scale_mod, colors_override,
     )
 
-    binning = bin_gaussians(proj, ntx, nty, cfg.pair_budget)
+    binning = bin_gaussians(proj, ntx, nty, cfg.pair_budget, ts)
     # Binning is index bookkeeping — no gradients flow through it.
     binning = jax.tree_util.tree_map(jax.lax.stop_gradient, binning)
 
@@ -126,24 +126,32 @@ def render_gaussians(
         # design minimizes the NUMBER of row-indexed ops (one per direction).
         # The kernels consume the row-major layout through a flat
         # (P·16/128, 128) view — no transpose is ever materialized.
-        zeros = jnp.zeros_like(proj.opacity)
         fields = jnp.stack(
             [
                 proj.mean2d[:, 0], proj.mean2d[:, 1],
                 proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
                 proj.opacity,
                 proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
-            ]
-            + [zeros] * (NUM_FIELDS - 9),
+            ],
             axis=1,
         )
         fields_ext = jnp.concatenate(
-            [jnp.zeros((1, NUM_FIELDS), fields.dtype), fields], axis=0
+            [jnp.zeros((1, 9), fields.dtype), fields], axis=0
         )
         pg_padded = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
             binning.pair_gauss + 1, mode="drop"
         )
-        pair_rows = fields_ext[pg_padded]
+        # Gather only the 9 live columns, pad to the kernel's 16-field row
+        # width with a (cheap, bandwidth-only) broadcast concat: indexed-op
+        # cost scales with row width, and the VJP becomes a 9-wide
+        # scatter-add instead of 16-wide.
+        pair_rows = jnp.concatenate(
+            [
+                fields_ext[pg_padded],
+                jnp.zeros((padded_size, NUM_FIELDS - 9), fields.dtype),
+            ],
+            axis=1,
+        )
         rgb_tiles, t_tiles = composite_tiles_pallas(
             pair_rows, astart, binning.tile_count,
             ntx, nty, ts, cfg.pallas_interpret,

@@ -68,7 +68,7 @@ def _render_tile_sharded(
         means, scales, quats, opac, sh, camera, cfg.sh_degree, ts,
         cfg.scale_mod,
     )
-    binning = bin_gaussians(proj, ntx, nty, cfg.pair_budget)
+    binning = bin_gaussians(proj, ntx, nty, cfg.pair_budget, ts)
     binning = jax.tree_util.tree_map(jax.lax.stop_gradient, binning)
 
     my = jax.lax.axis_index(tile_axis) * t_loc + jnp.arange(

@@ -121,6 +121,48 @@ class TestShardedTrainStep:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
             )
 
+    def test_pallas_backend_matches_single_device(self, scene):
+        """The sharded step running the PALLAS kernels (interpret mode on the
+        CPU mesh) reproduces the single-device pallas render's updates —
+        the flagship kernels are the multi-chip path, not a fallback."""
+        binding, params, cams, images = scene
+        cfg = dataclasses.replace(
+            RCFG, sh_degree=1, backend="pallas", pallas_interpret=True
+        )
+        tx = make_tetgs_optimizer(OptimizationParams(), 1.0)
+
+        def ref_loss(p):
+            means, scales, quats, opac, sh = gaussian_arrays(binding, p)
+            losses = []
+            for cam, gt in zip(cams[:2], images[:2]):
+                img = render_gaussians(
+                    means, scales, quats, opac, sh, cam, cfg, jnp.zeros(3)
+                )["image"]
+                losses.append(l1_dssim(img, jnp.asarray(gt), 0.2))
+            return jnp.mean(jnp.stack(losses))
+
+        ref_l, ref_g = jax.value_and_grad(ref_loss)(params)
+
+        # 64×64 at tile_size 32 → 2 tile rows; tile axis 2 = one row each.
+        mesh = make_mesh((2, 2), ("data", "tile"))
+        step = make_sharded_render_train_step(
+            binding, tx, cfg, mesh, H, W, bg=jnp.zeros(3)
+        )
+        batch = make_batch(cams[:2], images[:2])
+        p2, _, loss = step(params, tx.init(params), batch)
+
+        np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+        opt_ref = tx.init(params)
+        upd, _ = tx.update(ref_g, opt_ref, params)
+        ref_params = optax.apply_updates(params, upd)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ref_params),
+            jax.tree_util.tree_leaves(p2),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+            )
+
     def test_loss_decreases(self, scene):
         binding, params, cams, images = scene
         cfg = dataclasses.replace(RCFG, sh_degree=1)

@@ -21,6 +21,7 @@ from jax import Array
 
 from youreditableavatar_tpu.ops.gaussian_raster.binning import bin_gaussians
 from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import (
+    NUM_FIELDS,
     assemble_image,
     composite_tiles_xla,
     gather_pair_data,
@@ -49,6 +50,58 @@ def _resolve_backend(backend: str) -> str:
     if backend != "auto":
         return backend
     return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
+    """Chunk-aligned pair-row layout + aligned starts for the Pallas kernels.
+
+    Index-side padding: scatter (gaussian+1) ids into the chunk-aligned
+    layout (cheap 1-D scatter), then ONE row gather from fields with a zero
+    row prepended — padding slots hit row 0 (inert: alpha 0), and the
+    gather's VJP is ONE row scatter-add whose padding-slot garbage lands in
+    the zero row and is sliced off by concatenate's VJP. Gather/scatter run
+    ~3 GB/s on TPU regardless of row width, so the design minimizes the
+    NUMBER of row-indexed ops (one per direction). The kernels consume the
+    row-major layout through a flat (P·16/128, 128) view — no transpose is
+    ever materialized.
+
+    Returns (pair_rows (P_pad, NUM_FIELDS), aligned_starts (T,)).
+    """
+    from youreditableavatar_tpu.ops.gaussian_raster.binning import (
+        pad_tile_ranges,
+    )
+    from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
+        CHUNK,
+    )
+
+    padded_size = pair_budget + ntx * nty * CHUNK
+    dst, astart, _total = pad_tile_ranges(binning, CHUNK, padded_size)
+    fields = jnp.stack(
+        [
+            proj.mean2d[:, 0], proj.mean2d[:, 1],
+            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+            proj.opacity,
+            proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+        ],
+        axis=1,
+    )
+    fields_ext = jnp.concatenate(
+        [jnp.zeros((1, 9), fields.dtype), fields], axis=0
+    )
+    pg_padded = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
+        binning.pair_gauss + 1, mode="drop"
+    )
+    # Gather only the 9 live columns, pad to the kernel's 16-field row width
+    # with a (cheap, bandwidth-only) broadcast concat: indexed-op cost scales
+    # with row width, and the VJP becomes a 9-wide scatter-add.
+    pair_rows = jnp.concatenate(
+        [
+            fields_ext[pg_padded],
+            jnp.zeros((padded_size, NUM_FIELDS - 9), fields.dtype),
+        ],
+        axis=1,
+    )
+    return pair_rows, astart
 
 
 def render_gaussians(
@@ -105,52 +158,11 @@ def render_gaussians(
         )
     elif backend == "pallas":
         from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
-            CHUNK,
             composite_tiles_pallas,
         )
-        from youreditableavatar_tpu.ops.gaussian_raster.binning import (
-            pad_tile_ranges,
-        )
-        from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import (
-            NUM_FIELDS,
-        )
 
-        padded_size = cfg.pair_budget + ntx * nty * CHUNK
-        dst, astart, total = pad_tile_ranges(binning, CHUNK, padded_size)
-        # Index-side padding: scatter (gaussian+1) ids into the chunk-aligned
-        # layout (cheap 1-D scatter), then ONE row gather from fields with a
-        # zero row prepended — padding slots hit row 0 (inert: alpha 0), and
-        # the gather's VJP is ONE row scatter-add whose padding-slot garbage
-        # lands in the zero row and is sliced off by concatenate's VJP.
-        # Gather/scatter run ~3 GB/s on TPU regardless of row width, so the
-        # design minimizes the NUMBER of row-indexed ops (one per direction).
-        # The kernels consume the row-major layout through a flat
-        # (P·16/128, 128) view — no transpose is ever materialized.
-        fields = jnp.stack(
-            [
-                proj.mean2d[:, 0], proj.mean2d[:, 1],
-                proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-                proj.opacity,
-                proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
-            ],
-            axis=1,
-        )
-        fields_ext = jnp.concatenate(
-            [jnp.zeros((1, 9), fields.dtype), fields], axis=0
-        )
-        pg_padded = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
-            binning.pair_gauss + 1, mode="drop"
-        )
-        # Gather only the 9 live columns, pad to the kernel's 16-field row
-        # width with a (cheap, bandwidth-only) broadcast concat: indexed-op
-        # cost scales with row width, and the VJP becomes a 9-wide
-        # scatter-add instead of 16-wide.
-        pair_rows = jnp.concatenate(
-            [
-                fields_ext[pg_padded],
-                jnp.zeros((padded_size, NUM_FIELDS - 9), fields.dtype),
-            ],
-            axis=1,
+        pair_rows, astart = build_pallas_pair_rows(
+            proj, binning, ntx, nty, cfg.pair_budget
         )
         rgb_tiles, t_tiles = composite_tiles_pallas(
             pair_rows, astart, binning.tile_count,

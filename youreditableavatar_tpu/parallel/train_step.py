@@ -20,7 +20,6 @@ views (§5.8) plus the CUDA thread-block tile grid.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Any, Dict, Tuple
 
@@ -49,41 +48,109 @@ from youreditableavatar_tpu.ops.gaussian_raster.types import RasterCamera
 from youreditableavatar_tpu.ops.image_losses import l1_dssim
 
 
+def _shard_proj_rows(proj, row_lo, rows_loc: int, tile_size: int):
+    """Restrict a projection to a contiguous band of tile rows.
+
+    Clips every Gaussian's tile rect to rows [row_lo, row_lo + rows_loc) and
+    shifts both the rect and the screen mean into the band's local frame, so
+    the unmodified `bin_gaussians` + Pallas compositing pipeline runs on the
+    band as if it were the whole screen. Gaussians whose rect misses the band
+    get tiles_touched = 0 and drop out of the pair expansion — the per-shard
+    P-sized binning work (expansion, sort, scatter/gather, kernels) scales
+    with the shard's own pair count, not the global one.
+    """
+    y_shift = (row_lo * tile_size).astype(jnp.float32)
+    rmin_y = jnp.clip(proj.rect_min[:, 1] - row_lo, 0, rows_loc)
+    rmax_y = jnp.clip(proj.rect_max[:, 1] - row_lo, 0, rows_loc)
+    w_t = jnp.maximum(proj.rect_max[:, 0] - proj.rect_min[:, 0], 0)
+    h_t = jnp.maximum(rmax_y - rmin_y, 0)
+    tiles = jnp.where(proj.tiles_touched > 0, w_t * h_t, 0)
+    mean2d = proj.mean2d - jnp.stack(
+        [jnp.zeros_like(y_shift), y_shift]
+    )[None, :]
+    return proj._replace(
+        mean2d=mean2d,
+        rect_min=jnp.stack([proj.rect_min[:, 0], rmin_y], axis=-1),
+        rect_max=jnp.stack([proj.rect_max[:, 0], rmax_y], axis=-1),
+        tiles_touched=tiles,
+    )
+
+
 def _render_tile_sharded(
     means, scales, quats, opac, sh, camera: RasterCamera,
     cfg: RasterizeConfig, bg: Array, tile_axis: str, tile_axis_size: int,
 ):
-    """Render one view with the compositing grid sharded over `tile_axis`."""
+    """Render one view with the compositing grid sharded over `tile_axis`.
+
+    Per-Gaussian preprocess is replicated across the tile axis (N-sized,
+    sub-ms, and identical by construction — cheaper than an all-gather of
+    the projected rows); everything P-sized — pair expansion, tile sort,
+    chunk-aligned layout, and the compositing kernels — runs on the shard's
+    own tile rows only. `cfg.pair_budget` is the PER-SHARD pair budget here.
+    """
     ts = cfg.tile_size
     ntx = -(-camera.width // ts)
     nty = -(-camera.height // ts)
     num_tiles = ntx * nty
-    if num_tiles % tile_axis_size != 0:
-        raise ValueError(
-            f"{num_tiles} tiles not divisible by tile axis {tile_axis_size}"
-        )
-    t_loc = num_tiles // tile_axis_size
+    backend = "xla" if cfg.backend == "auto" and \
+        jax.default_backend() != "tpu" else (
+            "pallas" if cfg.backend == "auto" else cfg.backend)
 
     proj = preprocess_gaussians(
         means, scales, quats, opac, sh, camera, cfg.sh_degree, ts,
         cfg.scale_mod,
     )
-    binning = bin_gaussians(proj, ntx, nty, cfg.pair_budget, ts)
-    binning = jax.tree_util.tree_map(jax.lax.stop_gradient, binning)
 
-    my = jax.lax.axis_index(tile_axis) * t_loc + jnp.arange(
-        t_loc, dtype=jnp.int32
-    )
-    pair_local = gather_pair_data(
-        proj.mean2d, proj.conic, proj.color, proj.opacity,
-        binning.pair_gauss,
-        binning.tile_start[my],
-        jnp.minimum(binning.tile_count[my], cfg.tile_capacity),
-        cfg.tile_capacity,
-    )
-    rgb_loc, t_loc_arr = composite_tiles_xla(
-        pair_local, ntx, nty, ts, cfg.chunk, tile_ids=my
-    )
+    if backend == "pallas":
+        from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
+            composite_tiles_pallas,
+        )
+        from youreditableavatar_tpu.ops.gaussian_raster.render import (
+            build_pallas_pair_rows,
+        )
+
+        if nty % tile_axis_size != 0:
+            raise ValueError(
+                f"{nty} tile rows not divisible by tile axis "
+                f"{tile_axis_size} (pallas shards whole tile rows)"
+            )
+        rows_loc = nty // tile_axis_size
+        row_lo = jax.lax.axis_index(tile_axis) * rows_loc
+        proj_loc = _shard_proj_rows(proj, row_lo, rows_loc, ts)
+        binning = bin_gaussians(proj_loc, ntx, rows_loc, cfg.pair_budget, ts)
+        binning = jax.tree_util.tree_map(jax.lax.stop_gradient, binning)
+        pair_rows, astart = build_pallas_pair_rows(
+            proj_loc, binning, ntx, rows_loc, cfg.pair_budget
+        )
+        rgb_loc, t_loc_arr = composite_tiles_pallas(
+            pair_rows, astart, binning.tile_count,
+            ntx, rows_loc, ts, cfg.pallas_interpret,
+        )
+    elif backend == "xla":
+        if num_tiles % tile_axis_size != 0:
+            raise ValueError(
+                f"{num_tiles} tiles not divisible by tile axis "
+                f"{tile_axis_size}"
+            )
+        t_loc = num_tiles // tile_axis_size
+        binning = bin_gaussians(proj, ntx, nty, cfg.pair_budget, ts)
+        binning = jax.tree_util.tree_map(jax.lax.stop_gradient, binning)
+        my = jax.lax.axis_index(tile_axis) * t_loc + jnp.arange(
+            t_loc, dtype=jnp.int32
+        )
+        pair_local = gather_pair_data(
+            proj.mean2d, proj.conic, proj.color, proj.opacity,
+            binning.pair_gauss,
+            binning.tile_start[my],
+            jnp.minimum(binning.tile_count[my], cfg.tile_capacity),
+            cfg.tile_capacity,
+        )
+        rgb_loc, t_loc_arr = composite_tiles_xla(
+            pair_local, ntx, nty, ts, cfg.chunk, tile_ids=my
+        )
+    else:
+        raise ValueError(f"unknown rasterizer backend {backend!r}")
+
     rgb = jax.lax.all_gather(rgb_loc, tile_axis, axis=0, tiled=True)
     t_all = jax.lax.all_gather(t_loc_arr, tile_axis, axis=0, tiled=True)
     img, final_t = assemble_image(
@@ -114,7 +181,6 @@ def make_sharded_render_train_step(
     if bg is None:
         bg = jnp.zeros(3)
     tile_size_axis = mesh.shape[tile_axis]
-    cfg = dataclasses.replace(cfg, backend="xla")
 
     def per_device(params, opt_state, viewmats, fx, fy, cx, cy, images):
         def view_loss(params, i):

@@ -1,0 +1,293 @@
+"""Numerics + integration tests for the JAX SD1.5 stack.
+
+Block-level parity is checked against torch references built in-test
+(GroupNorm/Conv/attention) and against `transformers.CLIPTextModel` for the
+full text tower — the converters under test are the exact ones that load
+real SD1.5 checkpoints (`guidance/sd_unet.py` / `sd_vae.py` /
+`clip_text.py`), so passing here means a user-supplied diffusers state dict
+produces the reference numerics (SURVEY §2.7 N-table L3 plan;
+`sds_du_guidance.py:46-119`).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from youreditableavatar_tpu.guidance.clip_text import (
+    TEST_CLIP,
+    apply_clip_text,
+    convert_torch_clip_text,
+)
+from youreditableavatar_tpu.guidance.sd_layers import (
+    attention,
+    group_norm,
+    init_resnet,
+    resnet_block,
+    timestep_embedding,
+)
+from youreditableavatar_tpu.guidance.sd_unet import (
+    TEST_UNET,
+    apply_unet,
+    init_unet_params,
+)
+from youreditableavatar_tpu.guidance.sd_vae import (
+    TEST_VAE,
+    init_vae_params,
+    vae_decode,
+    vae_encode,
+    vae_encode_moments,
+)
+from youreditableavatar_tpu.guidance.sd15 import (
+    CLIPPromptEncoder,
+    SD15Prior,
+    ddpm_alphas_cumprod,
+)
+from youreditableavatar_tpu.guidance.sds import (
+    SDSConfig,
+    SDSDUConfig,
+    SDSDUGuidance,
+    SDSGuidance,
+)
+
+torch = pytest.importorskip("torch")
+
+
+class TestLayerParity:
+    def test_group_norm_matches_torch(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 5, 7, 16)).astype(np.float32)
+        p = {
+            "scale": jnp.asarray(rng.normal(size=16).astype(np.float32)),
+            "bias": jnp.asarray(rng.normal(size=16).astype(np.float32)),
+        }
+        out = group_norm(jnp.asarray(x), p, groups=8)
+        gn = torch.nn.GroupNorm(8, 16)
+        with torch.no_grad():
+            gn.weight.copy_(torch.from_numpy(np.asarray(p["scale"])))
+            gn.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+            ref = gn(torch.from_numpy(x).permute(0, 3, 1, 2))
+        np.testing.assert_allclose(
+            np.asarray(out), ref.permute(0, 2, 3, 1).numpy(),
+            atol=1e-5, rtol=1e-4,
+        )
+
+    def test_attention_matches_torch(self):
+        rng = np.random.default_rng(1)
+        b, lq, lk, d, heads = 2, 6, 9, 16, 4
+        q = rng.normal(size=(b, lq, d)).astype(np.float32)
+        k = rng.normal(size=(b, lk, d)).astype(np.float32)
+        v = rng.normal(size=(b, lk, d)).astype(np.float32)
+        out = attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), heads)
+        tq = torch.from_numpy(q).view(b, lq, heads, d // heads).transpose(1, 2)
+        tk = torch.from_numpy(k).view(b, lk, heads, d // heads).transpose(1, 2)
+        tv = torch.from_numpy(v).view(b, lk, heads, d // heads).transpose(1, 2)
+        ref = torch.nn.functional.scaled_dot_product_attention(tq, tk, tv)
+        ref = ref.transpose(1, 2).reshape(b, lq, d).numpy()
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-4)
+
+    def test_resnet_block_matches_torch(self):
+        rng = np.random.default_rng(2)
+        cin, cout, temb_dim, groups = 8, 16, 12, 4
+        p = init_resnet(jax.random.PRNGKey(0), cin, cout, temb_dim)
+        x = rng.normal(size=(1, 6, 6, cin)).astype(np.float32)
+        temb = rng.normal(size=(1, temb_dim)).astype(np.float32)
+        out = resnet_block(jnp.asarray(x), jnp.asarray(temb), p, groups)
+
+        def t_conv(pp, stride=1):
+            w = torch.from_numpy(
+                np.transpose(np.asarray(pp["w"]), (3, 2, 0, 1)).copy())
+            b_ = torch.from_numpy(np.asarray(pp["b"]))
+            kh = w.shape[2]
+            return lambda t: torch.nn.functional.conv2d(
+                t, w, b_, stride=stride, padding=kh // 2)
+
+        def t_gn(pp):
+            return lambda t: torch.nn.functional.group_norm(
+                t, groups, torch.from_numpy(np.asarray(pp["scale"])),
+                torch.from_numpy(np.asarray(pp["bias"])))
+
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        tt = torch.from_numpy(temb)
+        h = t_conv(p["conv1"])(torch.nn.functional.silu(t_gn(p["norm1"])(xt)))
+        proj = torch.from_numpy(np.asarray(p["time_emb_proj"]["w"]))
+        h = h + (
+            torch.nn.functional.silu(tt) @ proj
+            + torch.from_numpy(np.asarray(p["time_emb_proj"]["b"]))
+        )[:, :, None, None]
+        h = t_conv(p["conv2"])(torch.nn.functional.silu(t_gn(p["norm2"])(h)))
+        skip = t_conv(p["conv_shortcut"])(xt)
+        ref = (skip + h).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-3)
+
+    def test_timestep_embedding_shape_and_range(self):
+        emb = timestep_embedding(jnp.asarray([0, 10, 999]), 32)
+        assert emb.shape == (3, 32)
+        assert float(jnp.abs(emb).max()) <= 1.0 + 1e-6
+        # t=0 → all cos parts 1, sin parts 0.
+        np.testing.assert_allclose(np.asarray(emb[0, :16]), 1.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(emb[0, 16:]), 0.0, atol=1e-6)
+
+
+class TestCLIPParity:
+    def test_matches_transformers(self):
+        from transformers import CLIPTextConfig as HFConfig
+        from transformers import CLIPTextModel
+
+        hf_cfg = HFConfig(
+            vocab_size=TEST_CLIP.vocab_size,
+            hidden_size=TEST_CLIP.dim,
+            intermediate_size=TEST_CLIP.mlp_dim,
+            num_hidden_layers=TEST_CLIP.layers,
+            num_attention_heads=TEST_CLIP.heads,
+            max_position_embeddings=TEST_CLIP.max_len,
+            hidden_act="quick_gelu",
+            eos_token_id=TEST_CLIP.eos_token_id,
+            bos_token_id=TEST_CLIP.eos_token_id - 1,
+        )
+        torch.manual_seed(0)
+        model = CLIPTextModel(hf_cfg).eval()
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        params = convert_torch_clip_text(sd)
+
+        tokens = np.array(
+            [[98, 5, 17, 42, 99, 99, 99, 99],
+             [98, 1, 2, 3, 4, 5, 6, 99]], np.int32)
+        out = apply_clip_text(params, jnp.asarray(tokens), TEST_CLIP)
+        with torch.no_grad():
+            ref = model(torch.from_numpy(tokens.astype(np.int64)))
+        np.testing.assert_allclose(
+            np.asarray(out), ref.last_hidden_state.numpy(),
+            atol=2e-5, rtol=1e-4,
+        )
+
+
+class TestUNet:
+    def test_shapes_and_grad(self):
+        key = jax.random.PRNGKey(0)
+        params = init_unet_params(key, TEST_UNET)
+        z = jax.random.normal(key, (2, 16, 16, 4))
+        t = jnp.asarray([10, 500])
+        ctx = jax.random.normal(key, (2, 8, TEST_UNET.ctx_dim))
+        out = apply_unet(params, z, t, ctx, TEST_UNET)
+        assert out.shape == z.shape
+        g = jax.grad(
+            lambda zz: jnp.sum(apply_unet(params, zz, t, ctx, TEST_UNET) ** 2)
+        )(z)
+        assert bool(jnp.isfinite(g).all())
+
+    def test_conditioning_changes_output(self):
+        key = jax.random.PRNGKey(0)
+        params = init_unet_params(key, TEST_UNET)
+        z = jax.random.normal(key, (1, 8, 8, 4))
+        t = jnp.asarray([100])
+        c1 = jax.random.normal(jax.random.PRNGKey(1), (1, 8, TEST_UNET.ctx_dim))
+        c2 = jax.random.normal(jax.random.PRNGKey(2), (1, 8, TEST_UNET.ctx_dim))
+        o1 = apply_unet(params, z, t, c1, TEST_UNET)
+        o2 = apply_unet(params, z, t, c2, TEST_UNET)
+        assert float(jnp.abs(o1 - o2).max()) > 1e-6
+
+
+class TestVAE:
+    def test_roundtrip_shapes(self):
+        key = jax.random.PRNGKey(0)
+        params = init_vae_params(key, TEST_VAE)
+        img = jax.random.uniform(key, (1, 32, 32, 3)) * 2 - 1
+        z = vae_encode(params, img, jax.random.PRNGKey(1), TEST_VAE)
+        assert z.shape == (1, 16, 16, TEST_VAE.latent_channels)
+        assert TEST_VAE.downscale == 2
+        rec = vae_decode(params, z, TEST_VAE)
+        assert rec.shape == img.shape
+
+    def test_downsample_matches_torch_asymmetric_pad(self):
+        """Encoder downsample = pad (0,1)×(0,1) then stride-2 VALID conv —
+        diffusers `Downsample2D(padding=0)` semantics."""
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(1, 8, 8, 4)).astype(np.float32)
+        w = rng.normal(size=(3, 3, 4, 4)).astype(np.float32)
+        h = jnp.pad(jnp.asarray(x), ((0, 0), (0, 1), (0, 1), (0, 0)))
+        out = jax.lax.conv_general_dilated(
+            h, jnp.asarray(w), (2, 2), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        xt = torch.nn.functional.pad(xt, (0, 1, 0, 1))
+        ref = torch.nn.functional.conv2d(
+            xt, torch.from_numpy(np.transpose(w, (3, 2, 0, 1)).copy()),
+            stride=2)
+        np.testing.assert_allclose(
+            np.asarray(out), ref.permute(0, 2, 3, 1).numpy(),
+            atol=1e-5, rtol=1e-4)
+
+    def test_encode_is_differentiable(self):
+        key = jax.random.PRNGKey(0)
+        params = init_vae_params(key, TEST_VAE)
+
+        def f(img):
+            m, _ = vae_encode_moments(params, img, TEST_VAE)
+            return jnp.sum(m ** 2)
+
+        g = jax.grad(f)(jax.random.uniform(key, (1, 16, 16, 3)))
+        assert bool(jnp.isfinite(g).all())
+
+
+class TestSD15Prior:
+    def test_schedule_matches_stub(self):
+        from youreditableavatar_tpu.guidance.stub import StubDiffusionPrior
+
+        acp = ddpm_alphas_cumprod()
+        np.testing.assert_allclose(
+            np.asarray(acp), np.asarray(StubDiffusionPrior().alphas_cumprod),
+            rtol=1e-5)
+
+    @pytest.fixture(scope="class")
+    def tiny_prior(self):
+        return SD15Prior.random_init(jax.random.PRNGKey(0))
+
+    def test_sds_guidance_end_to_end(self, tiny_prior):
+        enc = CLIPPromptEncoder.random_init(jax.random.PRNGKey(1))
+        cond = enc.encode(["a red jacket"])
+        uncond = enc.encode([""])
+        # Project CLIP dim → UNet ctx dim for the tiny configs.
+        proj = jax.random.normal(
+            jax.random.PRNGKey(2), (cond.shape[-1], TEST_UNET.ctx_dim)) * 0.1
+        guidance = SDSGuidance(tiny_prior, SDSConfig(guidance_scale=7.5))
+
+        def loss_fn(img):
+            out = guidance(img, cond @ proj, uncond @ proj,
+                           jax.random.PRNGKey(3), 20, 980)
+            return out["loss_sds"]
+
+        img = jax.random.uniform(jax.random.PRNGKey(4), (1, 32, 32, 3))
+        loss, g = jax.value_and_grad(loss_fn)(img)
+        assert np.isfinite(float(loss))
+        assert bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_du_mode(self, tiny_prior):
+        enc = CLIPPromptEncoder.random_init(jax.random.PRNGKey(1))
+        proj = jax.random.normal(
+            jax.random.PRNGKey(2),
+            (enc.cfg.dim, TEST_UNET.ctx_dim)) * 0.1
+        cond = enc.encode(["a red jacket"]) @ proj
+        uncond = enc.encode([""]) @ proj
+        guidance = SDSDUGuidance(
+            tiny_prior, SDSDUConfig(per_editing_step=2, steps_divisor=100))
+
+        def loss_fn(img, step):
+            out = guidance.du_losses(
+                img, cond, uncond, jax.random.PRNGKey(5), 50, 250,
+                view_index=0, global_step=step)
+            return out["loss_f"] + 0.1 * out["loss_l1"]
+
+        img = jax.random.uniform(jax.random.PRNGKey(6), (1, 32, 32, 3))
+        l0, g = jax.value_and_grad(loss_fn)(img, 0)
+        assert np.isfinite(float(l0)) and bool(jnp.isfinite(g).all())
+        assert 0 in guidance.edited_images  # cache primed
+        l1 = loss_fn(img, 1)  # cache hit path (no refresh)
+        assert np.isfinite(float(l1))
+
+    def test_decode_latents_range(self, tiny_prior):
+        z = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+        img = tiny_prior.decode_latents(z)
+        assert img.shape == (1, 16, 16, 3)
+        assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0

@@ -1,0 +1,269 @@
+"""Tests for the JAX SDXL + ControlNet-Union stack (tiny configs).
+
+Covers the capability surface of the vendored pipelines
+(`pipeline_controlnet_union_multi_inpaint_sd_xl.py:1148`,
+`pipeline_controlnet_union_sd_xl_img2img.py:1072`,
+`models/controlnet_union.py:154-960`, `sdxl_tile_refiner.py:30-87`):
+union-control residual shapes, the SDXL text_time addition embedding,
+dual-control inpainting with mask pinning, strength-truncated img2img, the
+2×2 crop-upscale tile refiner, and converter structure round-trip.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from youreditableavatar_tpu.guidance.sd_unet import (
+    TEST_SDXL_UNET,
+    apply_unet,
+    init_unet_params,
+)
+from youreditableavatar_tpu.guidance.sdxl_controlnet import (
+    TEST_CONTROLNET_UNION,
+    apply_controlnet_union,
+    init_controlnet_union_params,
+)
+from youreditableavatar_tpu.guidance.sdxl_pipeline import (
+    CTRL_NORMAL,
+    CTRL_REPAINT,
+    SDXLControlNetUnionPipeline,
+    TEST_SDXL_PIPELINE,
+    sdxl_tile_refine,
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return SDXLControlNetUnionPipeline.random_init(jax.random.PRNGKey(0))
+
+
+class TestSDXLUNet:
+    def test_add_embedding_changes_output(self):
+        key = jax.random.PRNGKey(0)
+        params = init_unet_params(key, TEST_SDXL_UNET)
+        z = jax.random.normal(key, (1, 8, 8, 4))
+        t = jnp.asarray([100])
+        ctx = jax.random.normal(key, (1, 6, TEST_SDXL_UNET.ctx_dim))
+        tid = jnp.zeros((1, 6), jnp.float32)
+        p1 = jnp.zeros((1, TEST_SDXL_UNET.pooled_dim))
+        p2 = jnp.ones((1, TEST_SDXL_UNET.pooled_dim))
+        o1 = apply_unet(params, z, t, ctx, TEST_SDXL_UNET, (p1, tid))
+        o2 = apply_unet(params, z, t, ctx, TEST_SDXL_UNET, (p2, tid))
+        assert o1.shape == z.shape
+        assert float(jnp.abs(o1 - o2).max()) > 1e-6
+
+
+class TestControlNetUnion:
+    def test_residual_shapes_and_effect(self):
+        key = jax.random.PRNGKey(1)
+        cn = init_controlnet_union_params(key, TEST_CONTROLNET_UNION)
+        un = init_unet_params(key, TEST_SDXL_UNET)
+        z = jax.random.normal(key, (1, 8, 8, 4))
+        t = jnp.asarray([42])
+        ctx = jax.random.normal(key, (1, 6, TEST_SDXL_UNET.ctx_dim))
+        tid = jnp.zeros((1, 6), jnp.float32)
+        pooled = jnp.zeros((1, TEST_SDXL_UNET.pooled_dim))
+        controls = [
+            (CTRL_NORMAL, jax.random.uniform(key, (1, 16, 16, 3))),
+            (CTRL_REPAINT, jax.random.uniform(key, (1, 16, 16, 3))),
+        ]
+        down, mid = apply_controlnet_union(
+            cn, z, t, ctx, controls, TEST_CONTROLNET_UNION, (pooled, tid))
+        # One residual per UNet skip: conv_in + resnets + downsamplers.
+        n_skips = 1 + sum(
+            len(cfg_level)
+            for cfg_level in [[0], [0]]  # 1 resnet per level (TEST)
+        ) + 1  # one downsampler
+        assert len(down) == n_skips
+        assert down[0].shape == (1, 8, 8, 32)
+        assert mid.shape[-1] == 64  # deepest channel
+        # Zero-init output convs → residuals are exactly zero at init
+        # (ControlNet's "zero conv" property), so the UNet is unchanged.
+        for r in down:
+            assert float(jnp.abs(r).max()) == 0.0
+        out_plain = apply_unet(un, z, t, ctx, TEST_SDXL_UNET, (pooled, tid))
+        out_ctrl = apply_unet(un, z, t, ctx, TEST_SDXL_UNET, (pooled, tid),
+                              control_residuals=(down, mid))
+        np.testing.assert_allclose(
+            np.asarray(out_plain), np.asarray(out_ctrl), atol=1e-6)
+
+    def test_nonzero_convs_after_perturbation(self):
+        key = jax.random.PRNGKey(2)
+        cn = init_controlnet_union_params(key, TEST_CONTROLNET_UNION)
+        cn["zero_convs"] = [
+            {"w": zc["w"] + 0.01, "b": zc["b"]} for zc in cn["zero_convs"]
+        ]
+        z = jax.random.normal(key, (1, 8, 8, 4))
+        ctx = jax.random.normal(key, (1, 6, TEST_SDXL_UNET.ctx_dim))
+        tid = jnp.zeros((1, 6), jnp.float32)
+        pooled = jnp.zeros((1, TEST_SDXL_UNET.pooled_dim))
+        controls = [(CTRL_NORMAL, jax.random.uniform(key, (1, 16, 16, 3)))]
+        down, _ = apply_controlnet_union(
+            cn, z, jnp.asarray([10]), ctx, controls, TEST_CONTROLNET_UNION,
+            (pooled, tid))
+        assert float(jnp.abs(down[0]).max()) > 0.0
+
+
+class TestPipeline:
+    def test_inpaint_pins_unmasked_region(self, pipe):
+        key = jax.random.PRNGKey(3)
+        img = jax.random.uniform(key, (16, 16, 3))
+        mask = np.zeros((16, 16), np.float32)
+        mask[:, 8:] = 1.0  # repaint right half
+        normal = jax.random.uniform(jax.random.PRNGKey(4), (16, 16, 3))
+        out = pipe.inpaint(img, mask, normal, img, "a red jacket",
+                           key=key, steps=3)
+        assert out.shape == (16, 16, 3)
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+        # Unmasked (left) half pinned to the original through the VAE
+        # round-trip: must be substantially closer to it than the repaint.
+        err_keep = float(jnp.abs(out[:, :8] - img[:, :8]).mean())
+        assert err_keep < 0.5
+
+    def test_img2img_strength_truncates(self, pipe):
+        key = jax.random.PRNGKey(5)
+        img = jax.random.uniform(key, (16, 16, 3))
+        out = pipe.img2img(img, img, "clean texture", key=key,
+                           strength=0.3, steps=4)
+        assert out.shape == (16, 16, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_tile_refine_upscale(self, pipe):
+        key = jax.random.PRNGKey(6)
+        img = jax.random.uniform(key, (16, 16, 3))
+        out = sdxl_tile_refine(pipe, img, "texture", key, strength=0.3,
+                               steps=2, upscale_to_2048=True)
+        assert out.shape == (32, 32, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestConverterStructure:
+    def test_union_converter_roundtrip(self):
+        """Convert a torch-style state dict synthesized from the JAX init
+        back into params: structure and shapes must match (guards key-name
+        drift against the vendored `controlnet_union.py` naming)."""
+        import torch
+
+        from youreditableavatar_tpu.guidance.sdxl_controlnet import (
+            convert_torch_controlnet_union,
+        )
+
+        p = init_controlnet_union_params(
+            jax.random.PRNGKey(0), TEST_CONTROLNET_UNION)
+        sd = {}
+
+        def put_lin(prefix, lp):
+            sd[prefix + ".weight"] = torch.from_numpy(
+                np.asarray(lp["w"]).T.copy())
+            sd[prefix + ".bias"] = torch.from_numpy(np.asarray(lp["b"]))
+
+        def put_conv(prefix, cp):
+            sd[prefix + ".weight"] = torch.from_numpy(
+                np.transpose(np.asarray(cp["w"]), (3, 2, 0, 1)).copy())
+            sd[prefix + ".bias"] = torch.from_numpy(np.asarray(cp["b"]))
+
+        def put_norm(prefix, npr):
+            sd[prefix + ".weight"] = torch.from_numpy(
+                np.asarray(npr["scale"]))
+            sd[prefix + ".bias"] = torch.from_numpy(np.asarray(npr["bias"]))
+
+        put_conv("conv_in", p["conv_in"])
+        put_lin("time_embedding.linear_1", p["time1"])
+        put_lin("time_embedding.linear_2", p["time2"])
+        put_lin("add_embedding.linear_1", p["add1"])
+        put_lin("add_embedding.linear_2", p["add2"])
+        put_lin("control_add_embedding.linear_1", p["ctrl_add1"])
+        put_lin("control_add_embedding.linear_2", p["ctrl_add2"])
+        sd["task_embedding"] = torch.from_numpy(np.asarray(p["task_emb"]))
+        put_lin("spatial_ch_projs", p["spatial_proj"])
+        put_conv("controlnet_cond_embedding.conv_in",
+                 p["cond_embed"]["conv_in"])
+        for i, blk in enumerate(p["cond_embed"]["blocks"]):
+            put_conv(f"controlnet_cond_embedding.blocks.{2 * i}", blk["a"])
+            put_conv(f"controlnet_cond_embedding.blocks.{2 * i + 1}",
+                     blk["b"])
+        put_conv("controlnet_cond_embedding.conv_out",
+                 p["cond_embed"]["conv_out"])
+        for i, f in enumerate(p["fuser"]):
+            pre = f"transformer_layes.{i}"
+            put_norm(pre + ".ln_1", f["ln1"])
+            put_norm(pre + ".ln_2", f["ln2"])
+            wq = np.asarray(f["attn"]["q"]["w"]).T
+            wk = np.asarray(f["attn"]["k"]["w"]).T
+            wv = np.asarray(f["attn"]["v"]["w"]).T
+            sd[pre + ".attn.in_proj_weight"] = torch.from_numpy(
+                np.concatenate([wq, wk, wv], 0).copy())
+            sd[pre + ".attn.in_proj_bias"] = torch.from_numpy(
+                np.concatenate([
+                    np.asarray(f["attn"]["q"]["b"]),
+                    np.asarray(f["attn"]["k"]["b"]),
+                    np.asarray(f["attn"]["v"]["b"]),
+                ]).copy())
+            put_lin(pre + ".attn.out_proj", f["attn"]["out"])
+            put_lin(pre + ".mlp.c_fc", f["fc1"])
+            put_lin(pre + ".mlp.c_proj", f["fc2"])
+
+        def put_res(prefix, rp):
+            put_norm(prefix + ".norm1", rp["norm1"])
+            put_conv(prefix + ".conv1", rp["conv1"])
+            put_norm(prefix + ".norm2", rp["norm2"])
+            put_conv(prefix + ".conv2", rp["conv2"])
+            if "time_emb_proj" in rp:
+                put_lin(prefix + ".time_emb_proj", rp["time_emb_proj"])
+            if "conv_shortcut" in rp:
+                put_conv(prefix + ".conv_shortcut", rp["conv_shortcut"])
+
+        def put_tf(prefix, tp):
+            put_norm(prefix + ".norm", tp["norm"])
+            put_conv(prefix + ".proj_in", tp["proj_in"])
+            put_conv(prefix + ".proj_out", tp["proj_out"])
+            for j, blk in enumerate(tp["blocks"]):
+                bp = f"{prefix}.transformer_blocks.{j}"
+                put_norm(bp + ".norm1", blk["norm1"])
+                put_norm(bp + ".norm2", blk["norm2"])
+                put_norm(bp + ".norm3", blk["norm3"])
+                for an, ad in (("attn1", blk["attn1"]),
+                               ("attn2", blk["attn2"])):
+                    for nm, sub in (("to_q", "q"), ("to_k", "k"),
+                                    ("to_v", "v")):
+                        sd[f"{bp}.{an}.{nm}.weight"] = torch.from_numpy(
+                            np.asarray(ad[sub]["w"]).T.copy())
+                    put_lin(f"{bp}.{an}.to_out.0", ad["out"])
+                put_lin(bp + ".ff.net.0.proj", blk["ff1"])
+                put_lin(bp + ".ff.net.2", blk["ff2"])
+
+        for i, level in enumerate(p["down"]):
+            for j, rp in enumerate(level["resnets"]):
+                put_res(f"down_blocks.{i}.resnets.{j}", rp)
+            for j, tp in enumerate(level["attns"]):
+                put_tf(f"down_blocks.{i}.attentions.{j}", tp)
+            if "down" in level:
+                put_conv(f"down_blocks.{i}.downsamplers.0.conv",
+                         level["down"])
+        for i, zc in enumerate(p["zero_convs"]):
+            put_conv(f"controlnet_down_blocks.{i}", zc)
+        put_res("mid_block.resnets.0", p["mid"]["res1"])
+        put_tf("mid_block.attentions.0", p["mid"]["attn"])
+        put_res("mid_block.resnets.1", p["mid"]["res2"])
+        put_conv("controlnet_mid_block", p["mid_zero"])
+
+        sd_np = {k: v.numpy() for k, v in sd.items()}
+        p2 = convert_torch_controlnet_union(sd_np)
+
+        # Same output on the same inputs → conversion is faithful.
+        key = jax.random.PRNGKey(7)
+        z = jax.random.normal(key, (1, 8, 8, 4))
+        ctx = jax.random.normal(key, (1, 6, TEST_SDXL_UNET.ctx_dim))
+        args = (z, jnp.asarray([7]), ctx,
+                [(CTRL_NORMAL, jax.random.uniform(key, (1, 16, 16, 3)))])
+        kw = dict(cfg=TEST_CONTROLNET_UNION,
+                  add_cond=(jnp.zeros((1, TEST_SDXL_UNET.pooled_dim)),
+                            jnp.zeros((1, 6))))
+        d1, m1 = apply_controlnet_union(p, *args, **kw)
+        d2, m2 = apply_controlnet_union(p2, *args, **kw)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                                   atol=1e-5)
+        for a, b in zip(d1, d2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)

@@ -235,6 +235,34 @@ class TestTexturedMesh:
 
 
 class TestInpaintRefineSmoke:
+    def test_stage4_with_random_sdxl(self, edit_scene):
+        """InpaintTrainer drives the REAL SDXL+ControlNet-Union pipeline
+        (tiny random weights): joint front/back views 0/1, dual union
+        controls, DDIM mask-pinned inpainting (VERDICT r1 item 4)."""
+        import jax
+
+        from youreditableavatar_tpu.guidance.sdxl_pipeline import (
+            SDXLControlNetUnionPipeline,
+        )
+
+        eb, ep = edit_scene["binding"], edit_scene["params"]
+        verts, faces = edit_scene["verts"], edit_scene["faces"]
+        vmask = verts[:, 2] > 0.1
+        tm = TexturedMeshModel(verts, faces, vmask, MCFG)
+        cams = [make_cam(az) for az in (0.0, 180.0, 90.0)]
+        cfg = InpaintConfig(
+            iters_first=3, iters_second=2, iters_rest=2,
+            first_group=1, second_group=1, raster=RCFG,
+            inpaint_steps=2, fb_res=32,
+        )
+        pipe = SDXLControlNetUnionPipeline.random_init(jax.random.PRNGKey(9))
+        trainer = InpaintTrainer(
+            eb, ep, tm, cams, pipe, "a red hat", "bad", cfg
+        )
+        trainer.inpaint_training(jax.random.PRNGKey(0))
+        assert len(trainer.history) == 3
+        assert all(np.isfinite(h["loss"]) for h in trainer.history)
+
     def test_full_stage4_smoke(self, edit_scene):
         eb, ep = edit_scene["binding"], edit_scene["params"]
         verts, faces = edit_scene["verts"], edit_scene["faces"]

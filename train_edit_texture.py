@@ -13,16 +13,25 @@ def main(argv=None):
     p.add_argument("--prompt", required=True)
     p.add_argument("--out", default="outputs/edit_texture")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--inpainter", default="stub",
+                   choices=["stub", "sdxl", "sdxl-random"])
+    p.add_argument("--sdxl-weights", default=None,
+                   help="diffusers layout dir (unet/ vae/ controlnet/ ...)")
     args = p.parse_args(argv)
 
     from youreditableavatar_tpu.cli.pipeline import (
         PipelineScale,
         run_edit_texture_stage,
     )
+    from youreditableavatar_tpu.guidance.factory import (
+        make_inpainter_backend,
+    )
 
     scale = PipelineScale.tiny() if args.tiny else PipelineScale()
+    inpainter = make_inpainter_backend(args.inpainter, args.sdxl_weights)
     arts = run_edit_texture_stage(
-        args.out, args.edit_mesh, args.tetgs_init, args.prompt, scale
+        args.out, args.edit_mesh, args.tetgs_init, args.prompt, scale,
+        inpainter=inpainter,
     )
     print(arts)
 

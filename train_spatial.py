@@ -1,20 +1,23 @@
 #!/usr/bin/env python
 """Spatial-stage CLI (reference surface: `train_spatial.py:57-248`).
 
-Modes:
+Modes (mirroring the reference's --train/--validate/--test/--export
+dispatch):
   --train with a geometry-init config: SDF shape initialization from the
     body mesh (reference `configs/geometry-init.yaml`, max_steps=0) and
     `init_mesh.npy` export.
   --train with a geometry-edit config (+ --region editing_region_info.npy):
     localized SDS editing; --export writes `edit_mesh.npy`.
+  --validate / --test: turntable normal renders of a checkpoint
+    (reference `train_spatial.py:205-210` val/test splits; --test renders
+    the full 60-view circle, --validate a sparser 8-view probe).
 
-Config: YAML + `key.sub=value` dotlist overrides (same shape as the
-reference's OmegaConf CLI). Guidance backend: "stub" runs weight-free; a
-real SD1.5 port plugs in behind `guidance.base.DiffusionPrior`.
+Guidance backend (--guidance): "stub" runs weight-free, "sd15-random" runs
+the full JAX SD1.5 code path with tiny random weights, "sd15" loads real
+diffusers-format weights from --sd-weights.
 """
 
 import argparse
-import sys
 
 import numpy as np
 
@@ -23,11 +26,19 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)
     p.add_argument("--train", action="store_true")
+    p.add_argument("--validate", action="store_true")
+    p.add_argument("--test", action="store_true")
     p.add_argument("--export", action="store_true")
     p.add_argument("--region", default=None,
                    help="editing_region_info.npy for the edit mode")
     p.add_argument("--mesh", default=None,
                    help="body mesh (.npy dict or .ply) for shape init")
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint dir for --validate/--test")
+    p.add_argument("--guidance", default="stub",
+                   choices=["stub", "sd15", "sd15-random"])
+    p.add_argument("--sd-weights", default=None,
+                   help="diffusers layout dir (unet/ vae/ text_encoder/)")
     p.add_argument("--out", default="outputs/spatial")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
@@ -35,6 +46,7 @@ def main(argv=None):
     from youreditableavatar_tpu.cli.pipeline import (
         PipelineScale,
         run_spatial_stage,
+        run_spatial_validate,
     )
     from youreditableavatar_tpu.stages.export import load_editing_region_info
     from youreditableavatar_tpu.utils.config import load_config
@@ -46,7 +58,22 @@ def main(argv=None):
         else PipelineScale()
     )
     for k, v in scale_kw.items():
-        object.__setattr__(scale, k, v) if hasattr(scale, k) else None
+        # Strict: unknown scale keys are config bugs, not no-ops.
+        if not hasattr(scale, k):
+            p.error(f"unknown system.scale key {k!r} "
+                    f"(valid: {sorted(vars(scale))})")
+        object.__setattr__(scale, k, v)
+
+    if args.validate or args.test:
+        if args.ckpt is None:
+            p.error("--validate/--test requires --ckpt")
+        vdir = run_spatial_validate(
+            args.out, args.ckpt, scale,
+            num_views=60 if args.test else 8,
+            subdir="test" if args.test else "validation",
+        )
+        print({"renders": vdir})
+        return
 
     if args.mesh is None:
         p.error("--mesh is required (body mesh artifact)")
@@ -55,8 +82,6 @@ def main(argv=None):
         verts = np.asarray(data["vertices"], np.float32)
         faces = np.asarray(data["faces"], np.int64)
     else:
-        from youreditableavatar_tpu.utils.saving import save_obj  # noqa
-
         raise SystemExit("only .npy mesh dicts supported in this build")
 
     region = (
@@ -66,6 +91,7 @@ def main(argv=None):
         args.out, verts, faces,
         cfg.system.get("prompt", "an avatar"), scale,
         seed=cfg.seed, editing_region_info=region,
+        guidance_backend=args.guidance, sd_weights=args.sd_weights,
     )
     print(arts)
 

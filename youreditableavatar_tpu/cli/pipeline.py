@@ -48,7 +48,10 @@ from youreditableavatar_tpu.models.tetgs import (
 )
 from youreditableavatar_tpu.models.tetgs_edit import build_edit_tetgs
 from youreditableavatar_tpu.models.textured_mesh import TexturedMeshModel
-from youreditableavatar_tpu.ops.gaussian_raster import RasterizeConfig
+from youreditableavatar_tpu.ops.gaussian_raster import (
+    RasterCamera,
+    RasterizeConfig,
+)
 from youreditableavatar_tpu.ops.hashgrid import HashGridConfig
 from youreditableavatar_tpu.ops.marching_tets import make_tet_grid, marching_tets
 from youreditableavatar_tpu.ops.mesh_raster import MeshRasterConfig
@@ -165,6 +168,8 @@ def run_spatial_stage(
     scale: PipelineScale,
     seed: int = 0,
     editing_region_info: Optional[Dict] = None,
+    guidance_backend: str = "stub",
+    sd_weights: Optional[str] = None,
 ) -> Dict[str, str]:
     """Stages 0+1: SDF init → (SDS edit over the localized region) → exports.
 
@@ -209,12 +214,18 @@ def run_spatial_stage(
         part = geometry.partition_init(
             params, jnp.asarray(face_mask) & mt.faces_valid, frozen_mt=mt
         )
-        prior = StubDiffusionPrior()
+        from youreditableavatar_tpu.guidance.factory import (
+            make_guidance_backend,
+        )
+
+        prior, enc = make_guidance_backend(
+            guidance_backend, sd_weights, seed
+        )
         guidance = SDSGuidance(prior, SDSConfig())
-        enc = StubPromptEncoder()
         prompts = PromptProcessor(
             edit_prompt, "low quality", enc,
-            cache_dir=os.path.join(out_dir, ".cache"), model_name="stub",
+            cache_dir=os.path.join(out_dir, ".cache"),
+            model_name=guidance_backend,
         )
         edit_cfg = HumanEditConfig(
             max_steps=scale.edit_steps,
@@ -240,6 +251,63 @@ def run_spatial_stage(
         artifacts["edit_mesh"] = edit_mesh_path
     metrics.close()
     return artifacts
+
+
+def run_spatial_validate(
+    out_dir: str,
+    ckpt_path: str,
+    scale: PipelineScale,
+    num_views: int = 60,
+    subdir: str = "validation",
+    elevation_deg: float = 5.0,
+) -> str:
+    """Turntable normal renders of a spatial-stage checkpoint.
+
+    The reference's `--validate/--test` dispatch renders the val/test
+    turntable splits (`train_spatial.py:205-210`, 60-view circle from
+    `data/uncond.py` val/test datasets); here: load checkpoint → isosurface
+    → mesh-raster normal map per view → PNG frames (+ video when imageio
+    has an mp4 writer).
+    """
+    from youreditableavatar_tpu.models.cameras import sample_circle_cameras
+    from youreditableavatar_tpu.models.part_renderer import (
+        render_geometry_maps,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    field = _field(scale)
+    geometry = TetGeometry(field, scale.grid_res, scale.budgets)
+    params = load_state(ckpt_path)["params"]
+    mt = geometry.isosurface(params)
+
+    cams = sample_circle_cameras(
+        num_views=num_views, radius=1.7, elevation_deg=elevation_deg,
+        fov_deg=45.0, height=scale.image_hw, width=scale.image_hw,
+    )
+    frames = []
+    render = jax.jit(
+        lambda vm, fx, fy, cx, cy: render_geometry_maps(
+            mt.verts, mt.faces, mt.faces_valid,
+            RasterCamera(viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy,
+                         width=scale.image_hw, height=scale.image_hw),
+            scale.mesh_raster,
+        )["comp_normal"]
+    )
+    vdir = os.path.join(out_dir, subdir)
+    os.makedirs(vdir, exist_ok=True)
+    for k, cam in enumerate(cams):
+        rc = cam.raster_camera()
+        normal = np.asarray(
+            render(rc.viewmat, rc.fx, rc.fy, rc.cx, rc.cy)
+        )
+        frame = np.clip(normal, 0.0, 1.0)
+        save_image(os.path.join(vdir, f"frame{k:04d}.png"), frame)
+        frames.append(frame)
+    try:
+        save_video(os.path.join(vdir, "turntable.mp4"), frames, fps=20)
+    except Exception:
+        pass  # imageio without an mp4 writer: frames alone suffice
+    return vdir
 
 
 def run_init_texture_stage(

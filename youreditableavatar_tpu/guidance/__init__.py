@@ -19,7 +19,12 @@ from youreditableavatar_tpu.guidance.base import (
     DiffusionPrior,
     PromptEncoder,
 )
-from youreditableavatar_tpu.guidance.sds import SDSConfig, SDSGuidance
+from youreditableavatar_tpu.guidance.sds import (
+    SDSConfig,
+    SDSDUConfig,
+    SDSDUGuidance,
+    SDSGuidance,
+)
 from youreditableavatar_tpu.guidance.stub import (
     StubDiffusionPrior,
     StubPromptEncoder,
@@ -29,6 +34,8 @@ __all__ = [
     "DiffusionPrior",
     "PromptEncoder",
     "SDSConfig",
+    "SDSDUConfig",
+    "SDSDUGuidance",
     "SDSGuidance",
     "StubDiffusionPrior",
     "StubPromptEncoder",

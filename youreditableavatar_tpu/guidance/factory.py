@@ -1,0 +1,176 @@
+"""Guidance backend factory: name → (DiffusionPrior, PromptEncoder).
+
+Mirrors the reference's config-string dispatch for guidance types
+(`configs/geometry-edit.yaml:46-47` `guidance_type: "sds-du-guidance"` +
+`pretrained_model_name_or_path`), with zero-egress handling: the real SD1.5
+backend loads user-supplied diffusers-format weights from disk; without
+weights the stub (or a tiny random-weight SD1.5, exercising the full real
+code path) keeps every stage runnable.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+
+
+def make_guidance_backend(
+    name: str = "stub",
+    weights_dir: Optional[str] = None,
+    seed: int = 0,
+) -> Tuple[object, object]:
+    """Build (prior, prompt_encoder) for the spatial stage.
+
+    name:
+      "stub"         — deterministic conv stub + hash prompt encoder.
+      "sd15"         — real JAX SD1.5; `weights_dir` must hold a diffusers
+                       layout (unet/, vae/, text_encoder/, tokenizer/) with
+                       .bin or .safetensors checkpoints.
+      "sd15-random"  — tiny random-weight SD1.5 (full real code path, no
+                       weights; integration testing).
+    """
+    if name == "stub":
+        from youreditableavatar_tpu.guidance.stub import (
+            StubDiffusionPrior,
+            StubPromptEncoder,
+        )
+
+        return StubDiffusionPrior(seed), StubPromptEncoder()
+
+    if name == "sd15-random":
+        from youreditableavatar_tpu.guidance.sd15 import (
+            CLIPPromptEncoder,
+            SD15Prior,
+        )
+
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        return (SD15Prior.random_init(k1),
+                CLIPPromptEncoder.random_init(k2))
+
+    if name == "sd15":
+        from youreditableavatar_tpu.guidance.sd15 import (
+            CLIPPromptEncoder,
+            SD15Prior,
+        )
+
+        if not weights_dir or not os.path.isdir(weights_dir):
+            raise FileNotFoundError(
+                f"sd15 backend needs --sd-weights pointing at a diffusers "
+                f"layout directory (got {weights_dir!r}); use 'stub' or "
+                f"'sd15-random' to run without weights"
+            )
+
+        def find_ckpt(sub: str) -> str:
+            d = os.path.join(weights_dir, sub)
+            for fname in (
+                "diffusion_pytorch_model.safetensors",
+                "diffusion_pytorch_model.bin",
+                "model.safetensors",
+                "pytorch_model.bin",
+            ):
+                p = os.path.join(d, fname)
+                if os.path.exists(p):
+                    return p
+            raise FileNotFoundError(f"no checkpoint file under {d}")
+
+        prior = SD15Prior.from_torch_files(
+            find_ckpt("unet"), find_ckpt("vae")
+        )
+        tok_dir = os.path.join(weights_dir, "tokenizer")
+        enc = CLIPPromptEncoder.from_torch_file(
+            find_ckpt("text_encoder"),
+            tokenizer_dir=tok_dir if os.path.isdir(tok_dir) else None,
+        )
+        return prior, enc
+
+    raise ValueError(f"unknown guidance backend {name!r}")
+
+
+def make_inpainter_backend(
+    name: str = "stub",
+    weights_dir: Optional[str] = None,
+    seed: int = 0,
+):
+    """Build an `Inpainter` for the texture stages.
+
+    name:
+      "stub"         — deterministic mask-blend stub.
+      "sdxl"         — real SDXL + ControlNet-Union; `weights_dir` holds a
+                       diffusers layout (unet/, vae/, controlnet/,
+                       text_encoder/, text_encoder_2/, tokenizer*/).
+      "sdxl-random"  — tiny random-weight SDXL pipeline (full real code
+                       path: union controls, mask pinning, DDIM loop).
+    """
+    if name == "stub":
+        from youreditableavatar_tpu.guidance.stub import StubInpainter
+
+        return StubInpainter()
+
+    if name == "sdxl-random":
+        from youreditableavatar_tpu.guidance.sdxl_pipeline import (
+            SDXLControlNetUnionPipeline,
+        )
+
+        return SDXLControlNetUnionPipeline.random_init(
+            jax.random.PRNGKey(seed))
+
+    if name == "sdxl":
+        from youreditableavatar_tpu.guidance.clip_text import CLIPTextConfig
+        from youreditableavatar_tpu.guidance.sd15 import CLIPPromptEncoder
+        from youreditableavatar_tpu.guidance.sdxl_pipeline import (
+            SDXLControlNetUnionPipeline,
+            SDXLPipelineConfig,
+            SDXLTextEncoder,
+        )
+        import jax.numpy as jnp
+        import numpy as np
+
+        if not weights_dir or not os.path.isdir(weights_dir):
+            raise FileNotFoundError(
+                f"sdxl backend needs a diffusers layout dir "
+                f"(got {weights_dir!r}); use 'stub' or 'sdxl-random' to run "
+                f"without weights"
+            )
+
+        def find_ckpt(sub: str) -> str:
+            d = os.path.join(weights_dir, sub)
+            for fname in (
+                "diffusion_pytorch_model.safetensors",
+                "diffusion_pytorch_model.bin",
+                "model.safetensors",
+                "pytorch_model.bin",
+            ):
+                p = os.path.join(d, fname)
+                if os.path.exists(p):
+                    return p
+            raise FileNotFoundError(f"no checkpoint file under {d}")
+
+        # CLIP-bigG text tower (hidden 1280, 32 layers) for encoder 2.
+        big_cfg = CLIPTextConfig(dim=1280, layers=32, heads=20,
+                                 mlp_dim=5120)
+        tok = os.path.join(weights_dir, "tokenizer")
+        tok2 = os.path.join(weights_dir, "tokenizer_2")
+        enc_l = CLIPPromptEncoder.from_torch_file(
+            find_ckpt("text_encoder"),
+            tokenizer_dir=tok if os.path.isdir(tok) else None)
+        enc_g = CLIPPromptEncoder.from_torch_file(
+            find_ckpt("text_encoder_2"), cfg=big_cfg,
+            tokenizer_dir=tok2 if os.path.isdir(tok2) else None)
+        from youreditableavatar_tpu.guidance.sd_unet import (
+            _load_torch_state_dict,
+        )
+
+        sd2 = _load_torch_state_dict(find_ckpt("text_encoder_2"))
+        proj_g = jnp.asarray(
+            np.asarray(sd2["text_projection.weight"], np.float32).T
+        ) if "text_projection.weight" in sd2 else jnp.eye(1280)
+        text = SDXLTextEncoder(enc_l, enc_g, proj_g)
+        return SDXLControlNetUnionPipeline.from_torch_files(
+            find_ckpt("unet"), find_ckpt("vae"), find_ckpt("controlnet"),
+            text, SDXLPipelineConfig(),
+        )
+
+    raise ValueError(f"unknown inpainter backend {name!r}")

@@ -1,0 +1,296 @@
+"""Shared functional layers for the JAX Stable-Diffusion model family.
+
+TPU-first re-implementation of the building blocks the reference consumes
+through diffusers (`sds_du_guidance.py:46-119` loads SD1.5;
+`tetgs_inpainter/models/controlnet_union.py` and the vendored SDXL pipelines
+build on the same primitives): GroupNorm → SiLU → Conv residual blocks,
+sinusoidal time embeddings, and the CrossAttention transformer block.
+
+Design: pure functions over parameter pytrees (nested dicts), NHWC layout
+(TPU conv-native), attention as einsum with explicit f32 accumulation, and
+an optional compute dtype (bfloat16 weights halve HBM traffic; GroupNorm
+statistics and attention softmax stay f32). `init_*` builds randomly
+initialized params for tests; `convert_*` in the model modules maps torch
+state dicts onto the same pytrees (pattern proven in `ops/lpips.py:59-91`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------- primitives
+
+
+def linear(x: Array, p: Params) -> Array:
+    y = jnp.einsum(
+        "...i,io->...o", x, p["w"], precision=jax.lax.Precision.DEFAULT
+    )
+    return y + p["b"] if "b" in p else y
+
+
+def conv2d(x: Array, p: Params, stride: int = 1, padding="SAME") -> Array:
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + p["b"] if "b" in p else y
+
+
+def group_norm(x: Array, p: Params, groups: int = 32,
+               eps: float = 1e-5) -> Array:
+    """GroupNorm over NHWC (stats in f32 regardless of compute dtype)."""
+    orig = x.dtype
+    x = x.astype(jnp.float32)
+    c = x.shape[-1]
+    g = min(groups, c)
+    xg = x.reshape(x.shape[:-1] + (g, c // g))
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True) if x.ndim == 4 else \
+        xg.mean(axis=-1, keepdims=True)
+    var = ((xg - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True) \
+        if x.ndim == 4 else ((xg - mean) ** 2).mean(axis=-1, keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(x.shape)
+    return (x * p["scale"] + p["bias"]).astype(orig)
+
+
+def layer_norm(x: Array, p: Params, eps: float = 1e-5) -> Array:
+    orig = x.dtype
+    x = x.astype(jnp.float32)
+    mean = x.mean(axis=-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    return (x * p["scale"] + p["bias"]).astype(orig)
+
+
+def timestep_embedding(t: Array, dim: int, max_period: float = 10000.0,
+                       flip: bool = True) -> Array:
+    """Sinusoidal timestep features (diffusers `Timesteps` semantics:
+    half cos, half sin with downscale_freq_shift=0... SD uses flip_sin_to_cos
+    = True → [cos, sin])."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    return jnp.concatenate([cos, sin] if flip else [sin, cos], axis=-1)
+
+
+def attention(
+    q: Array, k: Array, v: Array, heads: int
+) -> Array:
+    """Multi-head attention; softmax and logits in f32.
+
+    q: (B, Lq, D); k/v: (B, Lk, D) → (B, Lq, D).
+    """
+    b, lq, d = q.shape
+    dh = d // heads
+    qh = q.reshape(b, lq, heads, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, -1, heads, dh).transpose(0, 2, 1, 3)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh, kh,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(dh)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", w, vh, precision=jax.lax.Precision.DEFAULT
+    )
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, d)
+
+
+# ------------------------------------------------------------------- blocks
+
+
+def resnet_block(x: Array, temb: Optional[Array], p: Params,
+                 groups: int = 32) -> Array:
+    """GN→SiLU→conv3×3 →(+time proj)→ GN→SiLU→conv3×3, residual (diffusers
+    `ResnetBlock2D`, the unit of every SD up/down path)."""
+    h = conv2d(jax.nn.silu(group_norm(x, p["norm1"], groups)), p["conv1"])
+    if temb is not None and "time_emb_proj" in p:
+        h = h + linear(jax.nn.silu(temb), p["time_emb_proj"])[:, None, None, :]
+    h = conv2d(jax.nn.silu(group_norm(h, p["norm2"], groups)), p["conv2"])
+    skip = conv2d(x, p["conv_shortcut"]) if "conv_shortcut" in p else x
+    return skip + h
+
+
+def transformer_block(x: Array, ctx: Array, p: Params, heads: int) -> Array:
+    """LN→self-attn → LN→cross-attn → LN→GEGLU-FF, all residual (diffusers
+    `BasicTransformerBlock`)."""
+    h = layer_norm(x, p["norm1"])
+    a1 = p["attn1"]
+    h = attention(linear(h, a1["q"]), linear(h, a1["k"]),
+                  linear(h, a1["v"]), heads)
+    x = x + linear(h, a1["out"])
+
+    h = layer_norm(x, p["norm2"])
+    a2 = p["attn2"]
+    h = attention(linear(h, a2["q"]), linear(ctx, a2["k"]),
+                  linear(ctx, a2["v"]), heads)
+    x = x + linear(h, a2["out"])
+
+    h = layer_norm(x, p["norm3"])
+    hg = linear(h, p["ff1"])
+    ha, hb = jnp.split(hg, 2, axis=-1)
+    h = ha * jax.nn.gelu(hb, approximate=False)
+    return x + linear(h, p["ff2"])
+
+
+def spatial_transformer(x: Array, ctx: Array, p: Params, heads: int,
+                        groups: int = 32) -> Array:
+    """GN → 1×1 proj_in → transformer block(s) over flattened pixels →
+    1×1 proj_out, residual (diffusers `Transformer2DModel`,
+    use_linear_projection=False as in SD1.5)."""
+    b, h_, w_, c = x.shape
+    res = x
+    y = group_norm(x, p["norm"], groups)
+    y = conv2d(y, p["proj_in"])
+    y = y.reshape(b, h_ * w_, c)
+    for blk in p["blocks"]:
+        y = transformer_block(y, ctx, blk, heads)
+    y = y.reshape(b, h_, w_, c)
+    return res + conv2d(y, p["proj_out"])
+
+
+def self_attention_2d(x: Array, p: Params, groups: int = 32) -> Array:
+    """GN → single-head QKV self-attention over pixels (diffusers
+    `Attention` as used in the VAE mid block)."""
+    b, h_, w_, c = x.shape
+    y = group_norm(x, p["norm"], groups)
+    y = y.reshape(b, h_ * w_, c)
+    out = attention(linear(y, p["q"]), linear(y, p["k"]),
+                    linear(y, p["v"]), heads=1)
+    out = linear(out, p["out"])
+    return x + out.reshape(b, h_, w_, c)
+
+
+# ------------------------------------------------------------------ inits
+
+
+def _split(key, n):
+    return list(jax.random.split(key, n))
+
+
+def init_linear(key, din, dout, bias=True, scale=None) -> Params:
+    w = jax.random.normal(key, (din, dout), jnp.float32)
+    w = w * (scale if scale is not None else 1.0 / math.sqrt(din))
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((dout,), jnp.float32)
+    return p
+
+
+def init_conv(key, kh, kw, cin, cout, bias=True) -> Params:
+    w = jax.random.normal(key, (kh, kw, cin, cout), jnp.float32)
+    w = w / math.sqrt(kh * kw * cin)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def init_norm(c) -> Params:
+    return {"scale": jnp.ones((c,), jnp.float32),
+            "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def init_resnet(key, cin, cout, temb_dim: Optional[int]) -> Params:
+    ks = _split(key, 4)
+    p = {
+        "norm1": init_norm(cin),
+        "conv1": init_conv(ks[0], 3, 3, cin, cout),
+        "norm2": init_norm(cout),
+        "conv2": init_conv(ks[1], 3, 3, cout, cout),
+    }
+    if temb_dim is not None:
+        p["time_emb_proj"] = init_linear(ks[2], temb_dim, cout)
+    if cin != cout:
+        p["conv_shortcut"] = init_conv(ks[3], 1, 1, cin, cout)
+    return p
+
+
+def init_transformer_block(key, c, ctx_dim) -> Params:
+    ks = _split(key, 10)
+    return {
+        "norm1": init_norm(c),
+        "attn1": {
+            "q": init_linear(ks[0], c, c, bias=False),
+            "k": init_linear(ks[1], c, c, bias=False),
+            "v": init_linear(ks[2], c, c, bias=False),
+            "out": init_linear(ks[3], c, c),
+        },
+        "norm2": init_norm(c),
+        "attn2": {
+            "q": init_linear(ks[4], c, c, bias=False),
+            "k": init_linear(ks[5], ctx_dim, c, bias=False),
+            "v": init_linear(ks[6], ctx_dim, c, bias=False),
+            "out": init_linear(ks[7], c, c),
+        },
+        "norm3": init_norm(c),
+        "ff1": init_linear(ks[8], c, 8 * c),
+        "ff2": init_linear(ks[9], 4 * c, c),
+    }
+
+
+def init_spatial_transformer(key, c, ctx_dim, depth: int = 1) -> Params:
+    ks = _split(key, depth + 2)
+    return {
+        "norm": init_norm(c),
+        "proj_in": init_conv(ks[0], 1, 1, c, c),
+        "blocks": [
+            init_transformer_block(ks[1 + i], c, ctx_dim)
+            for i in range(depth)
+        ],
+        "proj_out": init_conv(ks[depth + 1], 1, 1, c, c),
+    }
+
+
+def init_self_attention_2d(key, c) -> Params:
+    ks = _split(key, 4)
+    return {
+        "norm": init_norm(c),
+        "q": init_linear(ks[0], c, c),
+        "k": init_linear(ks[1], c, c),
+        "v": init_linear(ks[2], c, c),
+        "out": init_linear(ks[3], c, c),
+    }
+
+
+# ------------------------------------------------------- torch conversion
+
+
+def t2j(t) -> Array:
+    return jnp.asarray(np.asarray(t, dtype=np.float32))
+
+
+def conv_from_torch(sd, prefix) -> Params:
+    """torch Conv2d OIHW → HWIO."""
+    p = {"w": jnp.asarray(
+        np.transpose(np.asarray(sd[prefix + ".weight"], np.float32),
+                     (2, 3, 1, 0)))}
+    if prefix + ".bias" in sd:
+        p["b"] = t2j(sd[prefix + ".bias"])
+    return p
+
+
+def linear_from_torch(sd, prefix) -> Params:
+    p = {"w": jnp.asarray(
+        np.transpose(np.asarray(sd[prefix + ".weight"], np.float32)))}
+    if prefix + ".bias" in sd:
+        p["b"] = t2j(sd[prefix + ".bias"])
+    return p
+
+
+def norm_from_torch(sd, prefix) -> Params:
+    return {"scale": t2j(sd[prefix + ".weight"]),
+            "bias": t2j(sd[prefix + ".bias"])}

@@ -93,3 +93,79 @@ class SDSGuidance:
             "grad_norm": jnp.linalg.norm(grad),
             "t": t,
         }
+
+
+@dataclasses.dataclass(frozen=True)
+class SDSDUConfig(SDSConfig):
+    """Multi-step "du" edit-mode settings (`sds_du_guidance.py:288-314`)."""
+
+    per_editing_step: int = 10
+    du_guidance_scale: float = 7.5
+    steps_divisor: int = 25  # t//divisor + 1 denoise steps
+
+
+class SDSDUGuidance(SDSGuidance):
+    """SDS guidance with the reference's multi-step "du" edit mode.
+
+    Capability parity with the reference's default guidance type
+    (`configs/geometry-edit.yaml:47` `sds-du-guidance`,
+    `sds_du_guidance.py:288-314`): every `per_editing_step` steps a cached
+    per-view "edited image" is refreshed by multi-step DDIM denoising of the
+    render's noised latents under CFG; between refreshes the render is pulled
+    toward the cache with latent-MSE + L1 + perceptual losses.
+
+    The cache is host-side state (a dict keyed by view index) exactly like
+    the reference's `self.edited_images` — the multi-step edit runs under
+    stop-gradient, so only the three comparison losses are differentiated.
+    The perceptual term wires `ops/lpips.py` (the reference uses its bundled
+    VGG-LPIPS, `tetgs_spatial/utils/perceptual/`).
+    """
+
+    def __init__(self, prior, cfg: SDSDUConfig = SDSDUConfig(),
+                 perceptual_fn=None):
+        super().__init__(prior, cfg)
+        self.edited_images: Dict[int, Array] = {}
+        self.perceptual_fn = perceptual_fn
+
+    def du_losses(
+        self,
+        images: Array,
+        cond_emb: Array,
+        uncond_emb: Array,
+        key: jax.Array,
+        min_t: int,
+        max_t: int,
+        view_index: int,
+        global_step: int,
+    ) -> Dict[str, Array]:
+        """Multi-step edit losses for one view batch (B=1 like the ref)."""
+        cfg: SDSDUConfig = self.cfg  # type: ignore[assignment]
+        k_enc, k_t, k_edit = jax.random.split(key, 3)
+        latents = self.prior.encode_images(images, k_enc)
+
+        refresh = (
+            view_index not in self.edited_images
+            or global_step % cfg.per_editing_step == 0
+        )
+        if refresh:
+            t = int(jax.random.randint(k_t, (), min_t, max_t + 1))
+            edit_latents = self.prior.edit_latents(
+                jax.lax.stop_gradient(latents), t, cond_emb, uncond_emb,
+                k_edit, cfg.du_guidance_scale, cfg.steps_divisor,
+            )
+            edit_images = self.prior.decode_latents(edit_latents)
+            self.edited_images[view_index] = jax.lax.stop_gradient(
+                jax.image.resize(edit_images, images.shape, "bilinear")
+            )
+        gt = self.edited_images[view_index]
+        gt_latents = jax.lax.stop_gradient(
+            self.prior.encode_images(gt, k_enc)
+        )
+
+        b = images.shape[0]
+        loss_f = jnp.sum((latents - gt_latents) ** 2) / b
+        loss_l1 = jnp.sum(jnp.abs(images - gt)) / b
+        out = {"loss_f": loss_f, "loss_l1": loss_l1}
+        if self.perceptual_fn is not None:
+            out["loss_p"] = jnp.sum(self.perceptual_fn(images, gt)) / b
+        return out

@@ -1,0 +1,322 @@
+"""SDXL + ControlNet-Union inpaint / img2img pipelines in JAX.
+
+Capability re-implementation of the two vendored diffusers pipelines the
+texture stage drives:
+
+  * `StableDiffusionXLControlNetUnionMultiInpaintPipeline.__call__`
+    (`tetgs_inpainter/pipeline/pipeline_controlnet_union_multi_inpaint_sd_xl.py:1148`)
+    — latent inpainting with TWO simultaneous union control streams
+    (normal + masked-repaint), per-step mask blending against the noised
+    original latents, CFG;
+  * `...Img2ImgPipeline.__call__`
+    (`pipeline_controlnet_union_sd_xl_img2img.py:1072`) — strength-
+    truncated img2img with the tile control, used by `sdxl_refiner`
+    (`sdxl_tile_refiner.py:30-87`) including the 2×2 crop-upscale-to-2048
+    path.
+
+Scheduling is DDIM (η = 0) over a strength-truncated ladder — the
+deterministic member of the schedulers the reference's pipelines accept.
+Everything runs at any resolution whose latent size divides the UNet's
+downsample factor; weights follow the same converter story as SD1.5
+(`from_torch_files` / `random_init`). Implements the `Inpainter` protocol
+(`guidance/base.py`), so `InpaintTrainer` consumes it exactly like the stub.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from youreditableavatar_tpu.guidance.sd15 import ddpm_alphas_cumprod
+from youreditableavatar_tpu.guidance.sd_unet import (
+    SDXL_UNET,
+    TEST_SDXL_UNET,
+    UNetConfig,
+    apply_unet,
+    convert_torch_unet,
+    init_unet_params,
+    _load_torch_state_dict,
+)
+from youreditableavatar_tpu.guidance.sd_vae import (
+    SDXL_VAE,
+    TEST_VAE,
+    VAEConfig,
+    convert_torch_vae,
+    init_vae_params,
+    vae_decode,
+    vae_encode,
+)
+from youreditableavatar_tpu.guidance.sdxl_controlnet import (
+    SDXL_CONTROLNET_UNION,
+    TEST_CONTROLNET_UNION,
+    ControlNetUnionConfig,
+    apply_controlnet_union,
+    convert_torch_controlnet_union,
+    init_controlnet_union_params,
+)
+
+# union-promax control-type slots (controlnet_union README ordering)
+CTRL_OPENPOSE, CTRL_DEPTH, CTRL_HED, CTRL_CANNY = 0, 1, 2, 3
+CTRL_NORMAL, CTRL_SEGMENT, CTRL_TILE, CTRL_REPAINT = 4, 5, 6, 7
+
+
+@dataclasses.dataclass(frozen=True)
+class SDXLPipelineConfig:
+    unet: UNetConfig = SDXL_UNET
+    vae: VAEConfig = SDXL_VAE
+    controlnet: ControlNetUnionConfig = SDXL_CONTROLNET_UNION
+    num_train_timesteps: int = 1000
+    guidance_scale: float = 7.5
+    controlnet_scale: float = 1.0
+
+
+TEST_SDXL_PIPELINE = SDXLPipelineConfig(
+    unet=TEST_SDXL_UNET, vae=TEST_VAE, controlnet=TEST_CONTROLNET_UNION,
+)
+
+
+class SDXLControlNetUnionPipeline:
+    """Inpaint + img2img with union controls (implements `Inpainter`)."""
+
+    def __init__(self, unet_params, vae_params, controlnet_params,
+                 text_encoder, cfg: SDXLPipelineConfig = TEST_SDXL_PIPELINE,
+                 dtype=jnp.float32):
+        cast = lambda p: jax.tree_util.tree_map(
+            lambda x: x.astype(dtype), p)
+        self.unet_params = cast(unet_params)
+        self.vae_params = cast(vae_params)
+        self.controlnet_params = cast(controlnet_params)
+        self.text_encoder = text_encoder
+        self.cfg = cfg
+        self.dtype = dtype
+        self.alphas_cumprod = ddpm_alphas_cumprod(cfg.num_train_timesteps)
+
+    # ------------------------------------------------------------ builders
+
+    @classmethod
+    def random_init(cls, key: jax.Array, text_encoder=None,
+                    cfg: SDXLPipelineConfig = TEST_SDXL_PIPELINE, **kw):
+        from youreditableavatar_tpu.guidance.sd15 import CLIPPromptEncoder
+
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        if text_encoder is None:
+            text_encoder = _ProjectedTextEncoder(
+                CLIPPromptEncoder.random_init(k4), cfg.unet, k4)
+        return cls(
+            init_unet_params(k1, cfg.unet),
+            init_vae_params(k2, cfg.vae),
+            init_controlnet_union_params(k3, cfg.controlnet),
+            text_encoder, cfg, **kw,
+        )
+
+    @classmethod
+    def from_torch_files(cls, unet_path: str, vae_path: str,
+                         controlnet_path: str, text_encoder,
+                         cfg: SDXLPipelineConfig = None, **kw):
+        cfg = cfg or SDXLPipelineConfig()
+        return cls(
+            convert_torch_unet(_load_torch_state_dict(unet_path), cfg.unet),
+            convert_torch_vae(_load_torch_state_dict(vae_path), cfg.vae),
+            convert_torch_controlnet_union(
+                _load_torch_state_dict(controlnet_path)),
+            text_encoder, cfg, **kw,
+        )
+
+    # ------------------------------------------------------------ internals
+
+    def _encode_prompt(self, prompt: str, negative: str):
+        ctx_c, pool_c = self.text_encoder.encode_with_pooled([prompt])
+        ctx_u, pool_u = self.text_encoder.encode_with_pooled([negative])
+        return (ctx_c, pool_c), (ctx_u, pool_u)
+
+    def _timesteps(self, steps: int, strength: float) -> np.ndarray:
+        t_total = self.cfg.num_train_timesteps
+        init_t = min(int(t_total * strength), t_total - 1)
+        n = max(int(round(steps * strength)), 1)
+        return np.linspace(init_t, 0, n + 1).round().astype(np.int32)
+
+    def _cfg_eps(self, z, ti, cond, uncond, controls):
+        """One CFG denoise prediction with controlnet residuals."""
+        (ctx_c, pool_c), (ctx_u, pool_u) = cond, uncond
+        b = z.shape[0]
+        tb = jnp.full((b,), int(ti), jnp.int32)
+        time_ids = jnp.tile(
+            jnp.asarray(
+                [[z.shape[1] * 8, z.shape[2] * 8, 0, 0,
+                  z.shape[1] * 8, z.shape[2] * 8]], jnp.float32),
+            (b, 1))
+        eps = []
+        for ctx, pooled in ((ctx_c, pool_c), (ctx_u, pool_u)):
+            ctx = jnp.broadcast_to(ctx, (b,) + ctx.shape[1:])
+            pooled = jnp.broadcast_to(pooled, (b,) + pooled.shape[1:])
+            add_cond = (pooled, time_ids)
+            residuals = None
+            if controls:
+                residuals = apply_controlnet_union(
+                    self.controlnet_params, z, tb, ctx, controls,
+                    self.cfg.controlnet, add_cond,
+                    self.cfg.controlnet_scale,
+                )
+            eps.append(apply_unet(
+                self.unet_params, z, tb, ctx, self.cfg.unet, add_cond,
+                residuals,
+            ))
+        s = self.cfg.guidance_scale
+        return eps[1] + s * (eps[0] - eps[1])
+
+    def _ddim_step(self, z, eps, ti, ti_prev):
+        acp = self.alphas_cumprod
+        a_t = acp[int(ti)]
+        a_prev = acp[int(ti_prev)] if ti_prev > 0 else jnp.float32(1.0)
+        z0 = (z - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+        return jnp.sqrt(a_prev) * z0 + jnp.sqrt(1.0 - a_prev) * eps
+
+    def _encode_image(self, image: Array, key) -> Array:
+        x = (image[None] * 2.0 - 1.0).astype(self.dtype)
+        z = vae_encode(self.vae_params, x, key, self.cfg.vae)
+        return (z * self.cfg.vae.scaling_factor).astype(jnp.float32)
+
+    def _decode(self, latents: Array) -> Array:
+        z = (latents / self.cfg.vae.scaling_factor).astype(self.dtype)
+        img = vae_decode(self.vae_params, z, self.cfg.vae)
+        return jnp.clip(img.astype(jnp.float32) * 0.5 + 0.5, 0, 1)[0]
+
+    # ------------------------------------------------------------ protocol
+
+    def inpaint(self, image, mask, control_normal, control_repaint,
+                prompt: str, negative_prompt: str = "", key=None,
+                strength: float = 1.0, steps: int = 30):
+        """Mask-blended latent inpainting with dual union controls.
+
+        image/control_*: (H, W, 3) in [0, 1]; mask: (H, W) 1 = repaint.
+        """
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k_enc, k_noise = jax.random.split(key)
+        image = jnp.asarray(image, jnp.float32)
+        z_orig = self._encode_image(image, k_enc)
+        d = self.cfg.vae.downscale
+        m = jax.image.resize(
+            jnp.asarray(mask, jnp.float32),
+            (z_orig.shape[1], z_orig.shape[2]), "nearest",
+        )[None, :, :, None]
+
+        cond, uncond = self._encode_prompt(prompt, negative_prompt)
+        controls = [
+            (CTRL_NORMAL, jnp.asarray(control_normal, jnp.float32)[None]),
+            (CTRL_REPAINT, jnp.asarray(control_repaint, jnp.float32)[None]),
+        ]
+        ts = self._timesteps(steps, strength)
+        noise = jax.random.normal(k_noise, z_orig.shape, jnp.float32)
+        acp = self.alphas_cumprod
+        t0 = int(ts[0])
+        z = jnp.sqrt(acp[t0]) * z_orig + jnp.sqrt(1.0 - acp[t0]) * noise
+        for i in range(len(ts) - 1):
+            ti, tp = int(ts[i]), int(ts[i + 1])
+            eps = self._cfg_eps(z, ti, cond, uncond, controls)
+            z = self._ddim_step(z, eps, ti, tp)
+            # keep the unmasked region pinned to the (re-noised) original
+            if tp > 0:
+                kz = jax.random.fold_in(k_noise, i)
+                zn = jnp.sqrt(acp[tp]) * z_orig + jnp.sqrt(
+                    1.0 - acp[tp]) * jax.random.normal(
+                        kz, z_orig.shape, jnp.float32)
+            else:
+                zn = z_orig
+            z = m * z + (1.0 - m) * zn
+        return self._decode(z)
+
+    def img2img(self, image, control, prompt: str, key=None,
+                strength: float = 0.4, steps: int = 30,
+                control_type: int = CTRL_TILE, negative_prompt: str = ""):
+        """Strength-truncated img2img with one union control (tile)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k_enc, k_noise = jax.random.split(key)
+        image = jnp.asarray(image, jnp.float32)
+        z_orig = self._encode_image(image, k_enc)
+        cond, uncond = self._encode_prompt(prompt, negative_prompt)
+        controls = []
+        if control is not None:
+            controls = [(control_type,
+                         jnp.asarray(control, jnp.float32)[None])]
+        ts = self._timesteps(steps, strength)
+        noise = jax.random.normal(k_noise, z_orig.shape, jnp.float32)
+        acp = self.alphas_cumprod
+        t0 = int(ts[0])
+        z = jnp.sqrt(acp[t0]) * z_orig + jnp.sqrt(1.0 - acp[t0]) * noise
+        for i in range(len(ts) - 1):
+            eps = self._cfg_eps(z, int(ts[i]), cond, uncond, controls)
+            z = self._ddim_step(z, eps, int(ts[i]), int(ts[i + 1]))
+        return self._decode(z)
+
+
+class _ProjectedTextEncoder:
+    """Adapts a CLIP encoder to the SDXL (ctx, pooled) interface for
+    random-weight runs (real SDXL uses two towers — `SDXLTextEncoder`)."""
+
+    def __init__(self, clip_encoder, unet_cfg: UNetConfig, key):
+        self.clip = clip_encoder
+        d = clip_encoder.cfg.dim
+        k1, k2 = jax.random.split(key)
+        self.ctx_proj = jax.random.normal(
+            k1, (d, unet_cfg.ctx_dim), jnp.float32) / np.sqrt(d)
+        self.pool_proj = jax.random.normal(
+            k2, (d, unet_cfg.pooled_dim), jnp.float32) / np.sqrt(d)
+
+    def encode_with_pooled(self, prompts):
+        h = self.clip.encode(prompts)
+        return h @ self.ctx_proj, h.mean(axis=1) @ self.pool_proj
+
+
+class SDXLTextEncoder:
+    """Dual-tower SDXL text encoding: CLIP-L context + CLIP-bigG context and
+    pooled embedding, concatenated to the 2048-dim UNet context
+    (`pipeline_controlnet_union_multi_inpaint_sd_xl.py` encode_prompt)."""
+
+    def __init__(self, enc_l, enc_g, proj_g):
+        self.enc_l = enc_l  # hidden 768
+        self.enc_g = enc_g  # hidden 1280
+        self.proj_g = proj_g  # (1280, 1280) text projection for pooled
+
+    def encode_with_pooled(self, prompts):
+        h_l = self.enc_l.encode(prompts)
+        h_g = self.enc_g.encode(prompts)
+        ctx = jnp.concatenate([h_l, h_g], axis=-1)
+        pooled = h_g[:, -1] @ self.proj_g
+        return ctx, pooled
+
+
+def sdxl_tile_refine(
+    pipe: SDXLControlNetUnionPipeline,
+    image: Array,
+    prompt: str,
+    key: jax.Array,
+    strength: float = 0.4,
+    steps: int = 30,
+    upscale_to_2048: bool = False,
+) -> Array:
+    """Per-view tile-controlled img2img refinement (`sdxl_tile_refiner.py`).
+
+    With `upscale_to_2048`: 2× bilinear upscale, refine each of the 2×2
+    crops independently (the reference's crop-upscale loop :49-66), and
+    reassemble — keeps the UNet at its native resolution while doubling
+    output size.
+    """
+    image = jnp.asarray(image, jnp.float32)
+    if not upscale_to_2048:
+        return pipe.img2img(image, image, prompt, key, strength, steps)
+    h, w, _ = image.shape
+    big = jax.image.resize(image, (h * 2, w * 2, 3), "bilinear")
+    out = []
+    for qi, (ys, xs) in enumerate(((0, 0), (0, w), (h, 0), (h, w))):
+        crop = big[ys:ys + h, xs:xs + w]
+        out.append(pipe.img2img(
+            crop, crop, prompt, jax.random.fold_in(key, qi), strength,
+            steps))
+    top = jnp.concatenate([out[0], out[1]], axis=1)
+    bot = jnp.concatenate([out[2], out[3]], axis=1)
+    return jnp.concatenate([top, bot], axis=0)

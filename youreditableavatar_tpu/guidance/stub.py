@@ -68,6 +68,22 @@ class StubDiffusionPrior:
     ) -> Tuple[Array, Array]:
         return self._unet(z_t, t, cond), self._unet(z_t, t, uncond)
 
+    def decode_latents(self, latents: Array) -> Array:
+        """Inverse of the stub encode: first 3 channels, ×8 upsample."""
+        b, h, w, _ = latents.shape
+        d = self.latent_downscale
+        x = (latents[..., :3] + 1.0) * 0.5
+        return jnp.clip(
+            jax.image.resize(x, (b, h * d, w * d, 3), "bilinear"), 0.0, 1.0
+        )
+
+    def edit_latents(self, latents, t, cond, uncond, key,
+                     guidance_scale=7.5, steps_divisor=25):
+        """Deterministic single-step pull toward the cond embedding."""
+        tb = jnp.full((latents.shape[0],), int(t), jnp.int32)
+        eps_c, eps_u = self.predict_noise(latents, tb, cond, uncond)
+        return latents - 0.1 * (eps_u + guidance_scale * (eps_c - eps_u))
+
 
 class StubPromptEncoder:
     def __init__(self, length: int = 8, dim: int = 64):

@@ -47,7 +47,7 @@ from youreditableavatar_tpu.ops.gaussian_raster import (
     RasterCamera,
     RasterizeConfig,
 )
-from youreditableavatar_tpu.ops.image_losses import l1_dssim
+from youreditableavatar_tpu.ops.image_losses import dssim, l1_dssim
 from youreditableavatar_tpu.utils.registry import register
 
 
@@ -63,6 +63,13 @@ class InpaintConfig:
     lr_opacity: float = 0.05
     inpaint_steps: int = 30
     white_background: bool = True
+    # Fit loss = (1−f)·masked-L1 + f·D-SSIM against the composited target
+    # (`paint_2dgs.py:74,345-347` default dssim_factor 0.2).
+    dssim_factor: float = 0.2
+    # Views 0/1 (front + back) are inpainted JOINTLY as one side-by-side
+    # image so the two sides agree (`inpaint_utils.py:80-186`).
+    joint_front_back: bool = True
+    fb_res: int = 512  # per-side resolution of the joint inpaint
     raster: RasterizeConfig = dataclasses.field(
         default_factory=lambda: RasterizeConfig()
     )
@@ -139,12 +146,21 @@ class InpaintTrainer:
         bg = self._bg()
         tx = self.tx
 
+        dssim_f = self.cfg.dssim_factor
+
         def loss_fn(params, cam_arrs, target, weight):
             cam = RasterCamera(*cam_arrs, width=width, height=height)
             out = render_edit_tetgs(binding, params, cam, rcfg, bg)
             diff = jnp.abs(out["image"] - target)
-            return jnp.sum(diff * weight[..., None]) / (
+            l1 = jnp.sum(diff * weight[..., None]) / (
                 jnp.sum(weight) * 3.0 + 1e-6
+            )
+            # l1+dssim as the reference's fit loss (`paint_2dgs.py:345-347`);
+            # the D-SSIM term runs on the full composited target (outside
+            # the mask target == current render, so it only shapes the
+            # painted region and its surround).
+            return (1.0 - dssim_f) * l1 + dssim_f * dssim(
+                out["image"], target
             )
 
         @jax.jit
@@ -164,6 +180,51 @@ class InpaintTrainer:
             return self.cfg.iters_second
         return self.cfg.iters_rest
 
+    def _joint_front_back_guidance(
+        self, key: jax.Array
+    ) -> List[Array]:
+        """Views 0/1 inpainted as ONE side-by-side front|back image.
+
+        The reference concatenates the two 512-px views and makes a single
+        SDXL inpaint call (`prepare_fb_inputs`/`prepare_fb_image_guidance`,
+        `inpaint_utils.py:80-186`) so front and back agree on the garment;
+        the halves are split back and used as the per-view guidance.
+        """
+        cfg = self.cfg
+        h, w = self.cameras[0].height, self.cameras[0].width
+        r = cfg.fb_res
+        rcfg = dataclasses.replace(
+            cfg.raster, sh_degree=self.binding.sh_levels - 1
+        )
+        halves = {"image": [], "mask": [], "normal": []}
+        for gscam in self.cameras[:2]:
+            cam = gscam.raster_camera()
+            view = self.mesh_model.render_view(cam)
+            masks = self.mesh_model.prepare_inpaint_masks(view)
+            current = render_edit_tetgs(
+                self.binding, self.params, cam, rcfg, self._bg()
+            )["image"]
+            halves["image"].append(
+                jax.image.resize(current, (r, r, 3), "bilinear"))
+            halves["mask"].append(jax.image.resize(
+                masks["inpaint_mask_soft"], (r, r), "bilinear"))
+            halves["normal"].append(jax.image.resize(
+                view["comp_normal"], (r, r, 3), "bilinear"))
+        img_fb = jnp.concatenate(halves["image"], axis=1)
+        mask_fb = jnp.concatenate(halves["mask"], axis=1)
+        norm_fb = jnp.concatenate(halves["normal"], axis=1)
+        joint = self.inpainter.inpaint(
+            image=img_fb, mask=mask_fb, control_normal=norm_fb,
+            control_repaint=img_fb, prompt=self.prompt,
+            negative_prompt=self.negative_prompt, key=key,
+            steps=self.cfg.inpaint_steps,
+        )
+        joint = jnp.clip(jnp.asarray(joint), 0.0, 1.0)
+        return [
+            jax.image.resize(joint[:, :r], (h, w, 3), "bilinear"),
+            jax.image.resize(joint[:, r:], (h, w, 3), "bilinear"),
+        ]
+
     def inpaint_training(
         self, key: jax.Array, iters_scale: float = 1.0
     ) -> EditParams:
@@ -172,6 +233,11 @@ class InpaintTrainer:
         w = self.cameras[0].width
         if self._fit_step is None:
             self._fit_step = self._make_fit_step(h, w)
+
+        fb_guidance: Optional[List[Array]] = None
+        if cfg.joint_front_back and len(self.cameras) >= 2:
+            key, k_fb = jax.random.split(key)
+            fb_guidance = self._joint_front_back_guidance(k_fb)
 
         for vi, gscam in enumerate(self.cameras):
             key, k_inp = jax.random.split(key)
@@ -187,19 +253,22 @@ class InpaintTrainer:
                 self.binding, self.params, cam, rcfg, self._bg()
             )["image"]
 
-            # Guidance image from the inpainting backend: views 0 and 1 are
-            # the front/back pair, others the normal-conditioned path. With
-            # a stub backend both reduce to the same call signature.
-            guidance = self.inpainter.inpaint(
-                image=current,
-                mask=masks["inpaint_mask_soft"],
-                control_normal=view["comp_normal"],
-                control_repaint=current,
-                prompt=self.prompt,
-                negative_prompt=self.negative_prompt,
-                key=k_inp,
-                steps=cfg.inpaint_steps,
-            )
+            # Guidance image: views 0/1 take the precomputed joint
+            # front/back result; later views the per-view normal-conditioned
+            # inpaint (`paint_2dgs.py:350-489`, `normal_based_inpaint`).
+            if fb_guidance is not None and vi < 2:
+                guidance = fb_guidance[vi]
+            else:
+                guidance = self.inpainter.inpaint(
+                    image=current,
+                    mask=masks["inpaint_mask_soft"],
+                    control_normal=view["comp_normal"],
+                    control_repaint=current,
+                    prompt=self.prompt,
+                    negative_prompt=self.negative_prompt,
+                    key=k_inp,
+                    steps=cfg.inpaint_steps,
+                )
             guidance = jnp.clip(jnp.asarray(guidance), 0.0, 1.0)
             # Composite: keep region from the current render.
             m = masks["inpaint_mask_soft"][..., None]
@@ -249,8 +318,15 @@ class InpaintTrainer:
         turntable: Sequence[GSCamera],
         key: jax.Array,
         strength: float = 0.4,
+        upscale_to_2048: bool = False,
     ) -> List[np.ndarray]:
-        """60 refined + blended guidance images (`paint_2dgs.py:616-689`)."""
+        """60 refined + blended guidance images (`paint_2dgs.py:616-689`).
+
+        Each render is tile-controlled img2img-refined at strength 0.4; with
+        `upscale_to_2048` the 2×-upscale 2×2-crop path of
+        `sdxl_tile_refiner.py:49-66` runs instead (each quadrant refined at
+        native resolution, reassembled at double size).
+        """
         rcfg = dataclasses.replace(
             self.cfg.raster, sh_degree=self.binding.sh_levels - 1
         )
@@ -261,14 +337,29 @@ class InpaintTrainer:
             render = render_edit_tetgs(
                 self.binding, self.params, cam, rcfg, self._bg()
             )["image"]
-            refined = jnp.clip(
-                jnp.asarray(
-                    self.inpainter.img2img(
-                        render, render, self.prompt, key=k,
-                        strength=strength,
-                    )
-                ), 0, 1,
-            )
+            if upscale_to_2048:
+                from youreditableavatar_tpu.guidance.sdxl_pipeline import (
+                    sdxl_tile_refine,
+                )
+
+                refined = jnp.clip(
+                    sdxl_tile_refine(
+                        self.inpainter, render, self.prompt, k, strength,
+                        upscale_to_2048=True,
+                    ), 0, 1,
+                )
+                refined = jax.image.resize(
+                    refined, render.shape, "bilinear"
+                )
+            else:
+                refined = jnp.clip(
+                    jnp.asarray(
+                        self.inpainter.img2img(
+                            render, render, self.prompt, key=k,
+                            strength=strength,
+                        )
+                    ), 0, 1,
+                )
             blend = self.mesh_model.concat_blend_masks(cam)
             m = blend["edit_mask_soft"][..., None]
             img = refined * m + render * (1 - m)

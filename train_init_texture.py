@@ -15,11 +15,18 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=4000)
     p.add_argument("--downscale", type=float, default=1.0)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--segmenter", default="heuristic",
+                   choices=["heuristic", "sam", "sam-random"])
+    p.add_argument("--sam-weights", default=None,
+                   help="official sam_vit_*.pth checkpoint")
     args = p.parse_args(argv)
 
     from youreditableavatar_tpu.cli.pipeline import (
         PipelineScale,
         run_init_texture_stage,
+    )
+    from youreditableavatar_tpu.guidance.factory import (
+        make_segmenter_backend,
     )
     from youreditableavatar_tpu.models.cameras import load_colmap_cameras
 
@@ -28,6 +35,7 @@ def main(argv=None):
     arts = run_init_texture_stage(
         args.out, args.init_mesh, cams, scale,
         seg_prompt=args.seg_prompt, fit_iters=args.iters,
+        segmenter=make_segmenter_backend(args.segmenter, args.sam_weights),
     )
     print(arts)
 

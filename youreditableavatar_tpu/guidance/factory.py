@@ -174,3 +174,48 @@ def make_inpainter_backend(
         )
 
     raise ValueError(f"unknown inpainter backend {name!r}")
+
+
+def make_segmenter_backend(
+    name: str = "heuristic",
+    weights_path: Optional[str] = None,
+    seed: int = 0,
+):
+    """Build a `Segmenter` for region localization (LangSAM's role).
+
+    name:
+      "heuristic"  — foreground-band heuristic (weight-free).
+      "sam"        — JAX SAM; `weights_path` = official sam_vit_h.pth
+                     (vit_b config auto-selected for 'vit_b' in the name).
+      "sam-random" — tiny random-weight SAM (full architecture; the mask
+                     falls back to the grounded box).
+    """
+    if name == "heuristic":
+        from youreditableavatar_tpu.stages.localization import (
+            HeuristicSegmenter,
+        )
+
+        return HeuristicSegmenter()
+
+    if name == "sam-random":
+        from youreditableavatar_tpu.guidance.sam import SAMSegmenter
+
+        return SAMSegmenter.random_init(jax.random.PRNGKey(seed))
+
+    if name == "sam":
+        from youreditableavatar_tpu.guidance.sam import (
+            SAM_VIT_B,
+            SAM_VIT_H,
+            SAMSegmenter,
+        )
+
+        if not weights_path or not os.path.exists(weights_path):
+            raise FileNotFoundError(
+                f"sam backend needs --sam-weights (got {weights_path!r}); "
+                f"use 'heuristic' or 'sam-random' to run without weights"
+            )
+        cfg = SAM_VIT_B if "vit_b" in os.path.basename(weights_path) \
+            else SAM_VIT_H
+        return SAMSegmenter.from_torch_file(weights_path, cfg)
+
+    raise ValueError(f"unknown segmenter backend {name!r}")

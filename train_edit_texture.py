@@ -19,6 +19,10 @@ def main(argv=None):
                    help="diffusers layout dir (unet/ vae/ controlnet/ ...)")
     args = p.parse_args(argv)
 
+    from youreditableavatar_tpu.utils.misc import apply_platform_env
+
+    apply_platform_env()
+
     from youreditableavatar_tpu.cli.pipeline import (
         PipelineScale,
         run_edit_texture_stage,

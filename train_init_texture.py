@@ -21,6 +21,10 @@ def main(argv=None):
                    help="official sam_vit_*.pth checkpoint")
     args = p.parse_args(argv)
 
+    from youreditableavatar_tpu.utils.misc import apply_platform_env
+
+    apply_platform_env()
+
     from youreditableavatar_tpu.cli.pipeline import (
         PipelineScale,
         run_init_texture_stage,

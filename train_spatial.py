@@ -43,6 +43,10 @@ def main(argv=None):
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
+    from youreditableavatar_tpu.utils.misc import apply_platform_env
+
+    apply_platform_env()
+
     from youreditableavatar_tpu.cli.pipeline import (
         PipelineScale,
         run_spatial_stage,
@@ -92,6 +96,7 @@ def main(argv=None):
         cfg.system.get("prompt", "an avatar"), scale,
         seed=cfg.seed, editing_region_info=region,
         guidance_backend=args.guidance, sd_weights=args.sd_weights,
+        system_cfg=dict(cfg.system),
     )
     print(arts)
 

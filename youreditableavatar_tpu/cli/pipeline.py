@@ -170,6 +170,7 @@ def run_spatial_stage(
     editing_region_info: Optional[Dict] = None,
     guidance_backend: str = "stub",
     sd_weights: Optional[str] = None,
+    system_cfg: Optional[Dict] = None,
 ) -> Dict[str, str]:
     """Stages 0+1: SDF init → (SDS edit over the localized region) → exports.
 
@@ -221,22 +222,69 @@ def run_spatial_stage(
         prior, enc = make_guidance_backend(
             guidance_backend, sd_weights, seed
         )
-        guidance = SDSGuidance(prior, SDSConfig())
+        sys_cfg = system_cfg or {}
+        g_cfg = dict(sys_cfg.get("guidance", {}))
+        sds_kwargs = {
+            k: g_cfg[k] for k in
+            ("guidance_scale", "min_step_percent", "max_step_percent",
+             "grad_clip", "weighting_strategy")
+            if k in g_cfg
+        }
+        sds_kwargs = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in sds_kwargs.items()
+        }
+        guidance = SDSGuidance(prior, SDSConfig(**sds_kwargs))
         prompts = PromptProcessor(
             edit_prompt, "low quality", enc,
             cache_dir=os.path.join(out_dir, ".cache"),
             model_name=guidance_backend,
         )
-        edit_cfg = HumanEditConfig(
+        loss_cfg = dict(sys_cfg.get("loss", {}))
+        opt_cfg = dict(sys_cfg.get("optimizer", {}))
+        edit_kwargs: Dict = dict(
             max_steps=scale.edit_steps,
             camera=_cam_cfg(scale),
             recon_points=4096,
-            start_sdf_loss_step=max(scale.edit_steps // 2, 1),
+            start_sdf_loss_step=int(
+                sys_cfg.get("start_sdf_loss_step",
+                            max(scale.edit_steps // 2, 1))
+            ),
         )
+        if "sub_step" in sys_cfg:
+            edit_kwargs["sub_step"] = int(sys_cfg["sub_step"])
+        if "use_additional_input" in sys_cfg:
+            edit_kwargs["use_additional_input"] = bool(
+                sys_cfg["use_additional_input"])
+        for yk, ck in (
+            ("lambda_sds", "lambda_sds"),
+            ("lambda_sds_global", "lambda_sds_global"),
+            ("lambda_sdf", "lambda_sdf_control"),
+            ("lambda_sdf_recon", "lambda_sdf_recon"),
+            ("lambda_normal_consistency", "lambda_normal_consistency"),
+            ("lambda_normal_consistency_sub",
+             "lambda_normal_consistency_sub"),
+            ("lambda_normal", "lambda_normal"),
+            ("lambda_normal_sub", "lambda_normal_sub"),
+            ("lambda_mask", "lambda_mask"),
+        ):
+            if yk in loss_cfg:
+                v = loss_cfg[yk]
+                edit_kwargs[ck] = tuple(v) if isinstance(v, list) else v
+        if "name" in opt_cfg:
+            edit_kwargs["optimizer"] = str(opt_cfg["name"])
+        if "lr" in opt_cfg:
+            edit_kwargs["lr"] = float(opt_cfg["lr"])
+        if "betas" in opt_cfg:
+            edit_kwargs["betas"] = tuple(opt_cfg["betas"])
+        if "eps" in opt_cfg:
+            edit_kwargs["eps"] = float(opt_cfg["eps"])
+        edit_cfg = HumanEditConfig(**edit_kwargs)
         trainer = HumanEditTrainer(
             field, geometry, part, params, guidance, prompts, prompts,
             edit_cfg, scale.mesh_raster, seed=seed,
         )
+        trainer.save_dir = out_dir
         key, k_edit = jax.random.split(key)
         params = trainer.train(k_edit)
         for rec in trainer.metrics:

@@ -30,11 +30,12 @@ class HashGridConfig:
     n_features_per_level: int = 2
     log2_hashmap_size: int = 19
     base_resolution: int = 16
-    per_level_scale: float = 1.447269237440378
-    # Progressive curriculum (reference `networks.py:67-106`); start_level
-    # levels are active at start_step, then one more every update_steps.
-    progressive: bool = False
-    start_level: int = 4
+    per_level_scale: float = 1.381912879967776
+    # Progressive curriculum ON by default — reference parity: the SDF field
+    # trains as a ProgressiveBandHashGrid with start_level 8
+    # (`implicit_sdf.py:26-41`, `networks.py:67-106`).
+    progressive: bool = True
+    start_level: int = 8
     start_step: int = 0
     update_steps: int = 1000
 

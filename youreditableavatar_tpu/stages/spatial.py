@@ -145,6 +145,13 @@ class ShapeInitializer:
         opt_state = tx.init(params)
         field = self.field
 
+        # Progressive hash-grid: the whole shape init runs at the curriculum's
+        # step-0 mask (start_level coarse levels) — the reference's
+        # `initialize_shape` executes inside `on_fit_start` where
+        # global_step == 0, so the fine levels stay inactive until edit
+        # training advances the band (`networks.py:97-106`).
+        init_mask = field.level_mask(0)
+
         @jax.jit
         def sdf_step(params, opt_state, key):
             idx = jax.random.randint(
@@ -154,7 +161,7 @@ class ShapeInitializer:
             gt = pool_sdf_j[idx]
 
             def loss_fn(p):
-                pred = field.forward_sdf(p, pts)
+                pred = field.forward_sdf(p, pts, level_mask=init_mask)
                 return jnp.mean((pred - gt) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -197,7 +204,7 @@ class ShapeInitializer:
             )
 
             def loss_fn(p):
-                mt = geometry.isosurface(p)
+                mt = geometry.isosurface(p, level_mask=init_mask)
                 pred = render_geometry_maps(
                     mt.verts, mt.faces, mt.faces_valid, cam, mesh_cfg
                 )
@@ -208,7 +215,9 @@ class ShapeInitializer:
                     key, (cfg.normal_points_per_iter,), 0, cfg.sdf_pool_size
                 )
                 l_sdf = jnp.mean(
-                    (field.forward_sdf(p, pool_j[idx]) - pool_sdf_j[idx]) ** 2
+                    (field.forward_sdf(p, pool_j[idx],
+                                       level_mask=init_mask)
+                     - pool_sdf_j[idx]) ** 2
                 )
                 return l_norm + cfg.normal_sdf_weight * l_sdf
 
@@ -232,16 +241,36 @@ class ShapeInitializer:
 
 @dataclasses.dataclass(frozen=True)
 class HumanEditConfig:
+    """Stage-1 defaults mirror `configs/geometry-edit.yaml:51-66` +
+    `systems/humanedit.py:34-52` file-for-file."""
+
     max_steps: int = 10000
-    lr: float = 1e-3
+    # AdamW lr 2e-5, betas (0.9, 0.99), eps 1e-15 (`geometry-edit.yaml:68-73`)
+    optimizer: str = "adamw"
+    lr: float = 2e-5
+    betas: Tuple[float, float] = (0.9, 0.99)
+    eps: float = 1e-15
     lambda_sds: ScheduleSpec = 0.5  # also the local-vs-global choice weight
-    lambda_sds_global: ScheduleSpec = 1.0
-    lambda_sdf_recon: ScheduleSpec = 1000.0
-    lambda_sdf_control: ScheduleSpec = 1000.0
-    lambda_normal_consistency: ScheduleSpec = 1000.0
+    lambda_sds_global: ScheduleSpec = 0.5
+    lambda_sdf_recon: ScheduleSpec = 5000.0
+    lambda_sdf_control: ScheduleSpec = 2000.0  # `lambda_sdf`
+    lambda_normal_consistency: ScheduleSpec = 2000.0
+    # After sub_step (tet subdivision engages) the NC weight switches
+    # (`humanedit.py:206-216`, `geometry-edit.yaml` sub_step: 500).
+    lambda_normal_consistency_sub: ScheduleSpec = 2000.0
+    sub_step: int = 500
     start_sdf_loss_step: int = 3000
     recon_points: int = 30000
     log_every: int = 50
+    # Visual checkpoints: normal-grid dump cadence (`humanedit.py:257-292`),
+    # written when `save_dir` is set on the trainer.
+    image_every: int = 250
+    # Optional image-guided editing (`use_additional_input`,
+    # `humanedit.py:219-258`): front/back GT normal+mask images.
+    use_additional_input: bool = False
+    lambda_normal: ScheduleSpec = 100.0
+    lambda_normal_sub: ScheduleSpec = 100.0
+    lambda_mask: ScheduleSpec = 100.0
     camera: RandomCameraConfig = dataclasses.field(
         default_factory=lambda: RandomCameraConfig(
             elevation_range=(-5, 10),
@@ -282,12 +311,20 @@ class HumanEditTrainer:
         self.mesh_cfg = mesh_cfg
         self.sampler = RandomCameraSampler(cfg.camera, seed=seed)
         self.rng = np.random.default_rng(seed)
-        self.tx = optax.adam(cfg.lr)
+        from youreditableavatar_tpu.utils.optim import parse_optimizer
+
+        self.tx = parse_optimizer(cfg.optimizer, cfg.lr, cfg.betas, cfg.eps)
         self.opt_state = self.tx.init(params)
         self.control_sdf: Optional[Array] = None
         self.global_step = 0
         self.metrics: List[Dict[str, float]] = []
         self._step_fns: Dict[bool, Any] = {}
+        # Visual checkpoints (normal grids every cfg.image_every steps) are
+        # written here when set (`humanedit.py:257-292`).
+        self.save_dir: Optional[str] = None
+        # Optional image-guided editing targets (H, W, ...) in [0, 1]:
+        # dict(front_normal, back_normal, front_mask) — `humanedit.py:144-150`.
+        self.input_images: Optional[Dict[str, np.ndarray]] = None
 
         # Frozen-field SDF at grid vertices: the surface-aware recon target.
         self.recon_sdf = geometry.field.forward_sdf_chunked(
@@ -310,12 +347,15 @@ class HumanEditTrainer:
         )
 
         def step(params, opt_state, cam_l_arr, cam_g_arr, cond, uncond, key,
-                 weights, min_t, max_t, control_sdf):
+                 weights, min_t, max_t, control_sdf, global_step,
+                 guide_normal, guide_mask, guide_flag):
             cam_l = RasterCamera(*cam_l_arr, width=w, height=h)
             cam_g = RasterCamera(*cam_g_arr, width=w, height=h)
+            # Progressive hash-grid band (`networks.py:97-106`).
+            lm = field.level_mask(global_step)
 
             def loss_fn(p):
-                mt = geometry.part_isosurface(p, part)
+                mt = geometry.part_isosurface(p, part, level_mask=lm)
                 maps = render_part_maps(
                     part.keep_mesh, mt, cam_l,
                     cam_g if use_global else None, mesh_cfg,
@@ -335,7 +375,7 @@ class HumanEditTrainer:
                 k_idx = jax.random.randint(
                     key, (cfg.recon_points,), 0, nv
                 )
-                live = field.forward_sdf(p, grid_pos[k_idx])
+                live = field.forward_sdf(p, grid_pos[k_idx], level_mask=lm)
                 frozen = self.recon_sdf[k_idx]
                 keep_w = (~part.live_vert_mask[k_idx]).astype(jnp.float32)
                 loss_recon = jnp.sum(keep_w * (live - frozen) ** 2)
@@ -355,19 +395,46 @@ class HumanEditTrainer:
 
                 loss_nc = normal_consistency(mt)
                 loss = loss + weights["nc"] * loss_nc
-                return loss, {
+
+                aux = {
                     "sds": sds["loss_sds"],
                     "recon": loss_recon,
                     "control": loss_ctrl,
                     "nc": loss_nc,
                 }
 
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params
-            )
+                if cfg.use_additional_input:
+                    # Image-guided editing (`humanedit.py:219-258`): MSE
+                    # between the update-region normals and the front/back
+                    # GT normal image, + silhouette L2 on the front mask.
+                    upd = maps["local_update_mask"]
+                    pred_n = upd[..., None] * maps["local_comp_normal"] \
+                        + 0.5 * (1.0 - upd[..., None])
+                    gt_n = upd[..., None] * guide_normal \
+                        + 0.5 * (1.0 - upd[..., None])
+                    loss_normal = jnp.sum((pred_n - gt_n) ** 2)
+                    loss = loss + weights["img_normal"] * loss_normal
+                    pred_o = upd * jnp.clip(
+                        maps["local_opacity"], 1e-5, 1.0 - 1e-5
+                    )
+                    # front view only (flag == 0): silhouette L2
+                    loss_mask = jnp.where(
+                        guide_flag < 0.5,
+                        jnp.sum((pred_o - upd * guide_mask) ** 2),
+                        0.0,
+                    )
+                    loss = loss + weights["img_mask"] * loss_mask
+                    aux["img_normal"] = loss_normal
+                    aux["img_mask"] = loss_mask
+
+                return loss, (aux, normal_img)
+
+            (loss, (aux, normal_img)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, aux
+            return params, opt_state, loss, aux, normal_img
 
         return jax.jit(step)
 
@@ -397,6 +464,12 @@ class HumanEditTrainer:
                 )
             )
 
+        # NC weight switches to the `_sub` schedule once subdivision engages
+        # (`humanedit.py:206-216`, sub_step 500).
+        nc_spec = (
+            cfg.lambda_normal_consistency if step_i < cfg.sub_step
+            else cfg.lambda_normal_consistency_sub
+        )
         weights = {
             "sds": jnp.asarray(
                 C(cfg.lambda_sds_global if use_global else cfg.lambda_sds, 0,
@@ -411,10 +484,35 @@ class HumanEditTrainer:
                 if self.control_sdf is not None else 0.0,
                 jnp.float32,
             ),
-            "nc": jnp.asarray(
-                C(cfg.lambda_normal_consistency, 0, step_i), jnp.float32
-            ),
+            "nc": jnp.asarray(C(nc_spec, 0, step_i), jnp.float32),
         }
+        # Image-guided editing: random front/back choice per step
+        # (`humanedit.py:161-162`); flag 0 = front.
+        guide_flag = float(self.rng.integers(0, 2))
+        h, w = cfg.camera.height, cfg.camera.width
+        if cfg.use_additional_input and self.input_images is not None:
+            img_n_spec = (
+                cfg.lambda_normal if step_i < cfg.sub_step
+                else cfg.lambda_normal_sub
+            )
+            weights["img_normal"] = jnp.asarray(
+                C(img_n_spec, 0, step_i), jnp.float32)
+            weights["img_mask"] = jnp.asarray(
+                C(cfg.lambda_mask, 0, step_i), jnp.float32)
+            which = "front" if guide_flag < 0.5 else "back"
+            guide_normal = jnp.asarray(
+                self.input_images[f"{which}_normal"], jnp.float32)
+            guide_mask = jnp.asarray(
+                self.input_images.get("front_mask",
+                                      np.ones((h, w), np.float32)),
+                jnp.float32,
+            )
+        else:
+            weights["img_normal"] = jnp.float32(0.0)
+            weights["img_mask"] = jnp.float32(0.0)
+            guide_normal = jnp.zeros((h, w, 3), jnp.float32)
+            guide_mask = jnp.zeros((h, w), jnp.float32)
+
         min_t, max_t = self.guidance.timestep_range(0, step_i)
         ctrl = jnp.asarray(
             self.control_sdf
@@ -427,15 +525,30 @@ class HumanEditTrainer:
         step_fn = self._step_fns[use_global]
         cam_l_arr = (cam_l.viewmat, cam_l.fx, cam_l.fy, cam_l.cx, cam_l.cy)
         cam_g_arr = (cam_g.viewmat, cam_g.fx, cam_g.fy, cam_g.cx, cam_g.cy)
-        self.params, self.opt_state, loss, aux = step_fn(
+        self.params, self.opt_state, loss, aux, normal_img = step_fn(
             self.params, self.opt_state, cam_l_arr, cam_g_arr,
             jnp.asarray(cond), jnp.asarray(uncond), key, weights,
             jnp.asarray(min_t), jnp.asarray(max_t), ctrl,
+            jnp.int32(step_i), guide_normal, guide_mask,
+            jnp.float32(guide_flag),
         )
         self.global_step += 1
         rec = {"loss": float(loss), **{k: float(v) for k, v in aux.items()}}
         if step_i % cfg.log_every == 0:
             self.metrics.append({"step": step_i, **rec})
+        # Visual checkpoint: the training normal map every image_every steps
+        # (`humanedit.py:257-292` normal grids).
+        if self.save_dir is not None and step_i % cfg.image_every == 0:
+            from youreditableavatar_tpu.utils.saving import save_image
+
+            save_image(
+                os.path.join(
+                    self.save_dir,
+                    f"train-normal/it{step_i}-"
+                    f"{'global' if use_global else 'local'}-normal.png",
+                ),
+                np.clip(np.asarray(normal_img), 0, 1),
+            )
         return rec
 
     def train(self, key: jax.Array, num_steps: Optional[int] = None):

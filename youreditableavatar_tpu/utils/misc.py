@@ -18,6 +18,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def apply_platform_env() -> None:
+    """Make JAX honor the JAX_PLATFORMS env var even when a site hook has
+    force-registered another backend (some images pin a remote TPU plugin
+    that overrides env-based platform selection). CLI entry points call
+    this right after parsing args so `JAX_PLATFORMS=cpu tool ...` works."""
+    import os
+
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+
 def key_seq(key: jax.Array) -> Iterator[jax.Array]:
     """Infinite iterator of fresh PRNG subkeys."""
     while True:

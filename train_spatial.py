@@ -56,6 +56,9 @@ def main(argv=None):
     from youreditableavatar_tpu.utils.config import load_config
 
     cfg = load_config(args.config, args.overrides)
+    from youreditableavatar_tpu.utils.saving import snapshot_run
+
+    snapshot_run(args.out, dict(cfg.system) if cfg.system else None)
     scale_kw = dict(cfg.system.get("scale", {}))
     scale = (
         PipelineScale.tiny() if scale_kw.pop("tiny", False)

@@ -125,3 +125,61 @@ class PromptProcessor:
         """(B, L, D) cond + uncond embeddings for a view batch."""
         idx = self.direction_index(elevation_deg, azimuth_deg)
         return self.cond[idx], self.uncond[idx]
+
+    # Perp-Neg decay coefficients a·e^(−b·r) + c (`base.py:196-204`).
+    PERP_NEG_F_SB = (1.0, 0.5, -0.606)
+    PERP_NEG_F_FSB = (1.0, 0.5, +0.967)
+    PERP_NEG_F_FS = (4.0, 0.5, -2.426)
+    PERP_NEG_F_SF = (4.0, 0.5, -2.426)
+
+    def get_text_embeddings_perp_neg(
+        self, elevation_deg: np.ndarray, azimuth_deg: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Perp-Neg view interpolation (`base.py:81-166`).
+
+        Returns (pos (B, L, D), uncond (B, L, D), neg (B, 2, L, D),
+        neg_weights (B, 2)): the positive embedding interpolates
+        front/side/back by azimuth; the two negative directions carry
+        shifted-exponential-decay guidance weights for the perpendicular
+        gradient composition of the Perp-Neg paper.
+        """
+
+        def decay(f, r):
+            a, b, c = f
+            return a * np.exp(-b * r) + c
+
+        # direction embeddings: cond rows are [base, front, side, back,
+        # overhead] (constructor order).
+        front, side, back, over = (
+            self.cond[1], self.cond[2], self.cond[3], self.cond[4]
+        )
+        e = np.asarray(elevation_deg, np.float64).reshape(-1)
+        a = (np.asarray(azimuth_deg, np.float64).reshape(-1) + 180.0) \
+            % 360.0 - 180.0
+        b = e.shape[0]
+        pos = np.empty((b,) + front.shape, front.dtype)
+        neg = np.empty((b, 2) + front.shape, front.dtype)
+        wts = np.zeros((b, 2), np.float32)
+        unc = np.empty_like(pos)
+        idx = self.direction_index(e, a)
+        for i in range(b):
+            unc[i] = self.uncond[idx[i]]
+            if idx[i] == 4:  # overhead: no interpolation, dummy negatives
+                pos[i] = over
+                neg[i, 0] = self.uncond[idx[i]]
+                neg[i, 1] = self.uncond[idx[i]]
+                continue
+            az = abs(a[i])
+            if az < 90:  # front↔side
+                r = 1.0 - az / 90.0
+                pos[i] = r * front + (1 - r) * side
+                neg[i, 0], neg[i, 1] = front, side
+                wts[i, 0] = -decay(self.PERP_NEG_F_FS, r)
+                wts[i, 1] = -decay(self.PERP_NEG_F_SF, 1 - r)
+            else:  # side↔back
+                r = 2.0 - az / 90.0
+                pos[i] = r * side + (1 - r) * back
+                neg[i, 0], neg[i, 1] = side, front
+                wts[i, 0] = -decay(self.PERP_NEG_F_SB, r)
+                wts[i, 1] = -decay(self.PERP_NEG_F_FSB, r)
+        return pos, unc, neg, wts

@@ -95,6 +95,74 @@ class SDSGuidance:
         }
 
 
+def perpendicular_component(x: Array, ref: Array) -> Array:
+    """Component of x perpendicular to ref (per batch element)."""
+    axes = tuple(range(1, x.ndim))
+    dot = jnp.sum(x * ref, axis=axes, keepdims=True)
+    nrm = jnp.sum(ref * ref, axis=axes, keepdims=True) + 1e-12
+    return x - ref * (dot / nrm)
+
+
+class PerpNegSDSGuidance(SDSGuidance):
+    """SDS with Perp-Neg negative-view composition.
+
+    Consumes `PromptProcessor.get_text_embeddings_perp_neg` outputs: the
+    classifier-free delta of each negative direction contributes only its
+    component PERPENDICULAR to the positive delta, scaled by the azimuth-
+    dependent weights (`prompt_processors/base.py:81-166` + Perp-Neg paper).
+    """
+
+    def __call__(
+        self,
+        images: Array,
+        pos_emb: Array,
+        uncond_emb: Array,
+        key: jax.Array,
+        min_t: int,
+        max_t: int,
+        neg_emb: Array | None = None,
+        neg_weights: Array | None = None,
+    ) -> Dict[str, Array]:
+        if neg_emb is None:
+            return super().__call__(
+                images, pos_emb, uncond_emb, key, min_t, max_t
+            )
+        k_enc, k_t, k_noise = jax.random.split(key, 3)
+        latents = self.prior.encode_images(images, k_enc)
+        b = latents.shape[0]
+        t = jax.random.randint(k_t, (b,), min_t, max_t + 1)
+        noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+        acp = self.prior.alphas_cumprod[t][:, None, None, None]
+        z_t = jax.lax.stop_gradient(
+            jnp.sqrt(acp) * latents + jnp.sqrt(1.0 - acp) * noise
+        )
+        eps_pos, eps_unc = self.prior.predict_noise(
+            z_t, t, pos_emb, uncond_emb
+        )
+        e_pos = eps_pos - eps_unc
+        accum = e_pos
+        for i in range(neg_emb.shape[1]):
+            eps_neg, _ = self.prior.predict_noise(
+                z_t, t, neg_emb[:, i], uncond_emb
+            )
+            e_i = eps_neg - eps_unc
+            accum = accum + neg_weights[:, i, None, None, None] * \
+                perpendicular_component(e_i, e_pos)
+        eps_hat = eps_unc + self.cfg.guidance_scale * accum
+
+        w = 1.0 - acp
+        grad = jnp.nan_to_num(w * (eps_hat - noise))
+        if self.cfg.grad_clip is not None:
+            grad = jnp.clip(grad, -self.cfg.grad_clip, self.cfg.grad_clip)
+        target = jax.lax.stop_gradient(latents - grad)
+        loss = 0.5 * jnp.sum((latents - target) ** 2) / b
+        return {
+            "loss_sds": loss,
+            "grad_norm": jnp.linalg.norm(grad),
+            "t": t,
+        }
+
+
 @dataclasses.dataclass(frozen=True)
 class SDSDUConfig(SDSConfig):
     """Multi-step "du" edit-mode settings (`sds_du_guidance.py:288-314`)."""

@@ -297,7 +297,7 @@ def _backward_kernel(
                     jnp.where(trigger, 1.0, done),
                     pg_dot)
 
-        def reduce_chunk():
+        def reduce_chunk(slot):
             """Joint pixel-sum of the integrand planes for all 128 pairs."""
 
             def red(plane):  # (CHUNK, SUB, LANE) → (CHUNK, 1) pixel sums
@@ -306,18 +306,18 @@ def _backward_kernel(
                 )
 
             for f in range(6):
-                out_s[:, f:f + 1] = red(pl_s[f])
+                out_s[slot, :, f:f + 1] = red(pl_s[f])
             ww = pl_s[6]
-            out_s[:, 6:7] = red(ww * gr[None])
-            out_s[:, 7:8] = red(ww * gg[None])
-            out_s[:, 8:9] = red(ww * gb[None])
+            out_s[slot, :, 6:7] = red(ww * gr[None])
+            out_s[slot, :, 7:8] = red(ww * gg[None])
+            out_s[slot, :, 8:9] = red(ww * gb[None])
 
-        def grad_dma(c):
+        def grad_dma(c, slot):
             row0 = pl.multiple_of((start + c * CHUNK), CHUNK)
             return pltpu.make_async_copy(
-                out_s,
+                out_s.at[slot],
                 dpair_hbm.at[pl.ds(row0, CHUNK), :],
-                gsem,
+                gsem.at[slot],
             )
 
         def chunk_cond(carry):
@@ -338,16 +338,22 @@ def _backward_kernel(
                 0, CHUNK, functools.partial(gauss_body, c=c), state,
                 unroll=unroll,
             )
-            reduce_chunk()
-            out_dma = grad_dma(c)
-            out_dma.start()
-            out_dma.wait()
+            # Double-buffered output: before reusing this slot's staging
+            # buffer, drain the write issued two chunks ago — a synchronous
+            # start+wait per 64 KB block stalled the whole chunk loop on DMA
+            # latency (~2 ms of the backward at 512²/100k).
+            @pl.when(c >= 2)
+            def _():
+                grad_dma(c - 2, slot).wait()
+
+            reduce_chunk(slot)
+            grad_dma(c, slot).start()
             return c + 1, state
 
         # Columns 9..127 are lane padding (their cotangents are discarded by
         # the caller's slice); zero them once up front — reduce_chunk never
         # touches them.
-        out_s[:, 9:] = jnp.zeros((CHUNK, LANE - 9), jnp.float32)
+        out_s[:, :, 9:] = jnp.zeros((2, CHUNK, LANE - 9), jnp.float32)
 
         init = (
             jnp.ones((SUB, LANE), jnp.float32),
@@ -361,13 +367,22 @@ def _backward_kernel(
             chunk_cond, chunk_body, (jnp.int32(0), init)
         )
 
+        # Drain the (up to two) in-flight grad writes.
+        @pl.when(c_end >= 2)
+        def _():
+            grad_dma(c_end - 2, jax.lax.rem(c_end, 2)).wait()
+
+        @pl.when(c_end >= 1)
+        def _():
+            grad_dma(c_end - 1, jax.lax.rem(c_end - 1, 2)).wait()
+
         @pl.when(c_end < nchunks)
         def _():
             start_dma(c_end, jax.lax.rem(c_end, 2)).wait()  # drain in-flight
-            out_s[:, 0:9] = jnp.zeros((CHUNK, 9), jnp.float32)
+            out_s[0, :, 0:9] = jnp.zeros((CHUNK, 9), jnp.float32)
 
             def zero_chunk(c, _):
-                dma = grad_dma(c)
+                dma = grad_dma(c, 0)
                 dma.start()
                 dma.wait()
                 return 0
@@ -378,9 +393,9 @@ def _backward_kernel(
         scoped,
         smem=pltpu.SMEM((2, CHUNK * NUM_FIELDS // LANE, LANE), jnp.float32),
         pl_s=pltpu.VMEM((7, CHUNK, SUB, LANE), jnp.float32),
-        out_s=pltpu.VMEM((CHUNK, LANE), jnp.float32),
+        out_s=pltpu.VMEM((2, CHUNK, LANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
-        gsem=pltpu.SemaphoreType.DMA,
+        gsem=pltpu.SemaphoreType.DMA((2,)),
     )
 
 

@@ -63,6 +63,41 @@ TRIANGLE_TABLE = np.array(
 )
 
 
+def build_tet_grid(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    resolution: int = 64,
+    band: float = 0.15,
+    margin: float = 0.05,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Custom tet grid fitted to a mesh (reference `tet_utils.py:8-45` role:
+    pymeshlab resample + TetGen → here a lattice masked to the mesh's SDF
+    band, which is what the marching domain actually needs).
+
+    Keeps only tets whose cell lies within `band` (in normalized units) of
+    the mesh surface, compacting vertices. The native `MeshSDF` BVH supplies
+    the distance; geometry is normalized to [-0.5, 0.5]³ with `margin`.
+
+    Returns (verts (V', 3) float32 in the MESH's original frame scale...
+    normalized grid frame, tets (T', 4) int32) — same convention as
+    `make_tet_grid` (the caller scales field queries, not the grid).
+    """
+    from youreditableavatar_tpu.native import MeshSDF
+
+    v = np.asarray(verts, np.float32)
+    center = 0.5 * (v.max(0) + v.min(0))
+    half = max(np.abs(v - center).max(), 1e-9) / (0.5 - margin)
+    v_n = (v - center) / half  # fits in [-0.5+margin, 0.5-margin]
+
+    gverts, gtets = make_tet_grid(resolution)
+    sdf = MeshSDF(v_n, np.asarray(faces, np.int64))(gverts)
+    near = np.abs(sdf) <= band
+    keep = near[gtets].any(axis=1)
+    tets = gtets[keep]
+    used, inv = np.unique(tets.reshape(-1), return_inverse=True)
+    return gverts[used].copy(), inv.reshape(-1, 4).astype(np.int32)
+
+
 def make_tet_grid(resolution: int) -> Tuple[np.ndarray, np.ndarray]:
     """Regular tetrahedral grid over [-0.5, 0.5]³ (host-side, numpy).
 

@@ -374,6 +374,9 @@ class RefineConfig:
     key_view_weight: float = 10.0
     dssim_factor: float = 0.2
     scaling_reg: bool = True
+    # Optional LPIPS perceptual term (the reference's bundled VGG-LPIPS,
+    # `tetgs_spatial/utils/perceptual/`); 0 = off.
+    lambda_perceptual: float = 0.0
     white_background: bool = True
     raster: RasterizeConfig = dataclasses.field(
         default_factory=lambda: RasterizeConfig()
@@ -404,6 +407,11 @@ class RefineTrainer:
         self.opt_state = self.tx.init(self.params)
         self.losses: List[float] = []
         self._step = None
+        self._lpips = None
+        if cfg.lambda_perceptual > 0:
+            from youreditableavatar_tpu.ops.lpips import LPIPS
+
+            self._lpips = LPIPS()
 
     def _make_step(self, height, width):
         binding = self.binding
@@ -411,11 +419,16 @@ class RefineTrainer:
         rcfg = dataclasses.replace(cfg.raster, sh_degree=cfg.sh_levels - 1)
         bg = jnp.ones(3) if cfg.white_background else jnp.zeros(3)
         tx = self.tx
+        lpips_fn = self._lpips
 
         def loss_fn(params, cam_arrs, target, weight):
             cam = RasterCamera(*cam_arrs, width=width, height=height)
             out = render_edit_tetgs(binding, params, cam, rcfg, bg)
             loss = weight * l1_dssim(out["image"], target, cfg.dssim_factor)
+            if lpips_fn is not None:
+                loss = loss + cfg.lambda_perceptual * jnp.mean(
+                    lpips_fn(out["image"][None], target[None])
+                )
             if cfg.scaling_reg:
                 scales = jnp.exp(params.log_scales)
                 max_v = jnp.max(scales, -1)

@@ -127,3 +127,102 @@ def save_npy(path: str, payload) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.save(path, payload)
     return path
+
+
+def save_grayscale(
+    path: str,
+    img: np.ndarray,
+    cmap: str = "jet",
+    data_range: tuple | None = None,
+) -> str:
+    """Colormapped grayscale save (SaverMixin `save_grayscale_image`
+    semantics, `utils/saving.py:191-230`): normalize to [0, 1] (optionally
+    by a fixed range) and apply a jet/magma colormap without matplotlib."""
+    x = np.asarray(img, np.float32)
+    if data_range is not None:
+        lo, hi = data_range
+    else:
+        lo, hi = float(x.min()), float(x.max())
+    x = np.clip((x - lo) / max(hi - lo, 1e-12), 0.0, 1.0)
+    if cmap in (None, "none"):
+        rgb = np.stack([x] * 3, -1)
+    elif cmap == "jet":
+        r = np.clip(1.5 - np.abs(4 * x - 3), 0, 1)
+        g = np.clip(1.5 - np.abs(4 * x - 2), 0, 1)
+        b = np.clip(1.5 - np.abs(4 * x - 1), 0, 1)
+        rgb = np.stack([r, g, b], -1)
+    elif cmap == "magma":
+        r = np.clip(1.6 * x - 0.1, 0, 1) ** 0.9
+        g = np.clip(1.4 * x - 0.35, 0, 1) ** 1.2
+        b = np.clip(
+            0.6 + 1.2 * x - 2.0 * np.maximum(x - 0.6, 0) ** 0.8, 0, 1
+        ) * np.clip(4 * x, 0, 1)
+        rgb = np.stack([r, g, b], -1)
+    else:
+        raise ValueError(f"unknown cmap {cmap!r}")
+    return save_image(path, rgb)
+
+
+def save_uv_layout(path: str, v_tex: np.ndarray, t_tex_idx: np.ndarray,
+                   size: int = 1024) -> str:
+    """Rasterize the UV chart layout as a wireframe image (SaverMixin
+    `save_uv_image` role)."""
+    img = np.zeros((size, size), np.float32)
+    uv = np.clip(np.asarray(v_tex, np.float32), 0, 1) * (size - 1)
+    edges = np.concatenate(
+        [t_tex_idx[:, (0, 1)], t_tex_idx[:, (1, 2)], t_tex_idx[:, (2, 0)]]
+    )
+    for a, b in edges:
+        pa, pb = uv[a], uv[b]
+        n = int(np.linalg.norm(pb - pa)) + 1
+        ts = np.linspace(0, 1, n)
+        xs = (pa[0] + ts * (pb[0] - pa[0])).astype(int)
+        ys = (pa[1] + ts * (pb[1] - pa[1])).astype(int)
+        img[ys, xs] = 1.0
+    return save_image(path, np.stack([img] * 3, -1))
+
+
+class WandbLogger:
+    """Optional Weights & Biases hook (SaverMixin `create_loggers`,
+    `utils/saving.py:56-75`): no-op unless wandb is importable AND enabled,
+    so the training loop can call it unconditionally."""
+
+    def __init__(self, enable: bool = False, project: str = "youreditableavatar",
+                 name: str | None = None, config: Dict | None = None):
+        self._run = None
+        if not enable:
+            return
+        try:
+            import wandb
+
+            self._run = wandb.init(project=project, name=name,
+                                   config=config or {})
+        except Exception:
+            self._run = None  # offline image: stay a no-op
+
+    def log(self, metrics: Dict, step: int | None = None) -> None:
+        if self._run is not None:
+            self._run.log(metrics, step=step)
+
+    def log_image(self, key: str, img: np.ndarray,
+                  step: int | None = None) -> None:
+        if self._run is not None:
+            import wandb
+
+            self._run.log({key: wandb.Image(np.asarray(img))}, step=step)
+
+    def finish(self) -> None:
+        if self._run is not None:
+            self._run.finish()
+
+
+def snapshot_run(out_dir: str, config: Dict | None = None) -> None:
+    """Record the invocation + config (ConfigSnapshotCallback + cmd.txt,
+    `utils/callbacks.py:97-110`, `train_spatial.py:180-185`)."""
+    import sys
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "cmd.txt"), "w") as f:
+        f.write(" ".join(sys.argv) + "\n")
+    if config is not None:
+        save_json(os.path.join(out_dir, "parsed_config.json"), config)

@@ -40,12 +40,23 @@ def main(argv=None):
     p.add_argument("--sd-weights", default=None,
                    help="diffusers layout dir (unet/ vae/ text_encoder/)")
     p.add_argument("--out", default="outputs/spatial")
+    p.add_argument("--typecheck", action="store_true",
+                   help="runtime checks: nan-debugging + jax checks "
+                        "(reference --typecheck, train_spatial.py:83-86)")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
     from youreditableavatar_tpu.utils.misc import apply_platform_env
 
     apply_platform_env()
+    if args.typecheck:
+        import jax
+
+        # The reference installs a jaxtyping+typeguard import hook; the JAX
+        # equivalents are tracer-level: fail fast on NaNs and enable the
+        # internal invariant checks (torch.autograd anomaly-mode analog).
+        jax.config.update("jax_debug_nans", True)
+        jax.config.update("jax_enable_checks", True)
 
     from youreditableavatar_tpu.cli.pipeline import (
         PipelineScale,

@@ -146,6 +146,10 @@ def render_gaussians(
     binning = jax.tree_util.tree_map(jax.lax.stop_gradient, binning)
 
     backend = _resolve_backend(cfg.backend)
+    # Tiles whose pair list exceeds tile_capacity lose their deepest pairs
+    # in the XLA backend (the Pallas path has no cap) — surface the count so
+    # callers can detect truncation and raise the capacity.
+    tile_overflow = jnp.sum(binning.tile_count > cfg.tile_capacity)
     if backend == "xla":
         pair_data = gather_pair_data(
             proj.mean2d, proj.conic, proj.color, proj.opacity,
@@ -183,4 +187,7 @@ def render_gaussians(
         "mean2d": proj.mean2d,
         "depth": proj.depth,
         "num_pairs": binning.num_pairs,
+        # () int32: tiles truncated by tile_capacity (xla backend only;
+        # always report so the diagnostic is backend-independent).
+        "num_tile_overflow": tile_overflow,
     }

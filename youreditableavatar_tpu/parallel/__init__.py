@@ -14,9 +14,16 @@ the reference's rank-0 broadcast (`implicit_sdf.py:255-257`);
 `utils.misc.assert_replicated` is the invariant check.
 """
 
-from youreditableavatar_tpu.parallel.mesh import make_mesh
+from youreditableavatar_tpu.parallel.mesh import (
+    distributed_init,
+    make_mesh,
+)
 from youreditableavatar_tpu.parallel.train_step import (
     make_sharded_render_train_step,
 )
 
-__all__ = ["make_mesh", "make_sharded_render_train_step"]
+__all__ = [
+    "distributed_init",
+    "make_mesh",
+    "make_sharded_render_train_step",
+]

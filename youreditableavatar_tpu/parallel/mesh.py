@@ -9,6 +9,41 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Multi-host bring-up (SURVEY §5.8 TPU plan: `jax.distributed.initialize`
+    replaces the reference's torch.distributed env-var plumbing,
+    `utils/misc.py:17-29`).
+
+    On TPU pods with no arguments, JAX auto-discovers the topology; explicit
+    (coordinator, N, id) supports CPU/GPU clusters. No-op (single process)
+    when no distributed env is detectable. Returns (process_id, n_processes).
+    """
+    import os
+
+    explicit = coordinator_address is not None
+    env = any(k in os.environ for k in
+              ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+               "SLURM_NTASKS"))
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    # Some images set TPU_WORKER_HOSTNAMES to a warning string; only treat
+    # it as a cluster signal when it parses as a host list.
+    env = env or ("," in hosts and " " not in hosts)
+    if explicit or env:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except (ValueError, RuntimeError):
+            pass  # misdetected single-process environment
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(
     axis_sizes: Sequence[int],
     axis_names: Sequence[str] = ("data", "tile"),

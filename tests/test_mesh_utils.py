@@ -191,3 +191,57 @@ class TestPromptLibraryAndSaving:
         import imageio.v2 as imageio
 
         assert imageio.imread(tmp_path / "d.png").shape == (64, 64, 3)
+
+
+class TestPromptDebiasing:
+    def test_biased_word_dropped_per_view(self):
+        from youreditableavatar_tpu.guidance.prompts import (
+            get_debiased_prompts,
+        )
+
+        # A word is view-biased for view v when REMOVING it raises v's
+        # probability (PMI = full / lerp(part, full, ½) < 0.95): the word was
+        # pulling probability away from that view. Here "frontal" suppresses
+        # view 0 only → dropped from view 0's prompt, kept for views 1-3
+        # (whose distribution is unchanged, PMI = 1).
+        def probe(text):
+            if "frontal" in text:
+                return np.array([0.1, 0.2, 0.2, 0.2])
+            return np.array([0.4, 0.2, 0.2, 0.2])
+
+        out = get_debiased_prompts("a frontal jacket", probe)
+        assert out[0] == "a jacket"
+        assert out[1] == "a frontal jacket"
+        assert out[2] == "a frontal jacket"
+        assert out[3] == "a frontal jacket"
+
+    def test_neutral_prompt_untouched(self):
+        from youreditableavatar_tpu.guidance.prompts import (
+            get_debiased_prompts,
+        )
+
+        probe = lambda text: np.array([0.25, 0.25, 0.25, 0.25])  # noqa: E731
+        out = get_debiased_prompts("a red jacket", probe)
+        assert out == ["a red jacket"] * 4
+
+    def test_processor_uses_debiased_bases(self):
+        from youreditableavatar_tpu.guidance.prompts import PromptProcessor
+        from youreditableavatar_tpu.guidance.stub import StubPromptEncoder
+
+        def probe(text):
+            if "frontal" in text:
+                return np.array([0.1, 0.2, 0.2, 0.2])
+            return np.array([0.4, 0.2, 0.2, 0.2])
+
+        pp = PromptProcessor(
+            "a frontal jacket", "low quality", StubPromptEncoder(),
+            cache_dir="/tmp/test_prompt_cache_db", model_name="stub-db",
+            debias_probe=probe,
+        )
+        plain = PromptProcessor(
+            "a frontal jacket", "low quality", StubPromptEncoder(),
+            cache_dir="/tmp/test_prompt_cache_db2", model_name="stub-db2",
+        )
+        # front-view embedding differs (debiased base), side view unchanged
+        assert not np.allclose(pp.cond[1], plain.cond[1])
+        np.testing.assert_allclose(pp.cond[2], plain.cond[2])

@@ -13,8 +13,10 @@ and `stable_diffusion_prompt_processor.py:15-103`:
   * `PromptUtils.get_text_embeddings(elevation, azimuth, ...)` selects the
     per-view conditioned embedding and the matching negative/uncond one.
 
-The BERT-based prompt debiasing (`base.py:563-621`) is configured off by
-default in the reference and is not replicated.
+The BERT-based prompt debiasing (`base.py:563-621`) is implemented in
+`get_debiased_prompts` (probe-injectable; `bert_view_probe` builds the
+masked-LM probe from a local HF checkpoint) and is off by default, as in the
+reference (`base.py:207`).
 """
 
 from __future__ import annotations
@@ -69,6 +71,71 @@ PART_TEMPLATES: Dict[str, Callable[[str], str]] = {
 }
 
 
+def get_debiased_prompts(
+    prompt: str,
+    probe: Callable[[str], np.ndarray],
+    n_views: int = 4,
+    mask_ids: Optional[Sequence[int]] = None,
+    threshold: float = 0.95,
+) -> List[str]:
+    """Per-view prompt debiasing (`base.py:563-621` `get_debiased_prompt`).
+
+    For every maskable word, compare the view-direction distribution of the
+    full prompt against the prompt with that word removed: a word whose
+    removal leaves a view's probability essentially unchanged
+    (PMI = full / lerp(part, full, ½) < threshold) carries view bias for
+    that view and is dropped from that view's prompt.
+
+    `probe(text) -> (n_views,) probabilities` abstracts the reference's
+    BERT masked-LM scoring of "This image is depicting a [MASK] view of
+    {text}" — build it with `bert_view_probe` (local weights) or inject a
+    custom scorer for tests/offline runs.
+    """
+    words = prompt.split(" ")
+    keep = [list(words) for _ in range(n_views)]
+    full = np.asarray(probe(prompt), np.float64)
+    ids = list(range(len(words))) if mask_ids is None else list(mask_ids)
+    for idx in ids:
+        part = " ".join(words[:idx] + words[idx + 1:])
+        part_probe = np.asarray(probe(part), np.float64)
+        pmi = full / (0.5 * (part_probe + full))
+        for v in range(n_views):
+            if pmi[v] < threshold:
+                keep[v][idx] = ""
+    return [" ".join(w for w in p if w) for p in keep]
+
+
+def bert_view_probe(
+    model_name_or_path: str,
+    view_names: Sequence[str] = ("front", "side", "back", "overhead"),
+) -> Callable[[str], np.ndarray]:
+    """Masked-LM view probe from a local HF BERT checkpoint (torch CPU).
+
+    Mirrors the reference's `modulate` (`base.py:574-592`): softmax the
+    [MASK] logits of "This image is depicting a [MASK] view of {prompt}",
+    restrict to the view-word token ids, renormalize.
+    """
+    import torch
+    from transformers import AutoTokenizer, BertForMaskedLM
+
+    tok = AutoTokenizer.from_pretrained(model_name_or_path)
+    model = BertForMaskedLM.from_pretrained(model_name_or_path)
+    model.eval()
+    view_ids = tok(" ".join(view_names), return_tensors="pt").input_ids[0]
+    view_ids = view_ids[1:1 + len(view_names)]
+
+    def probe(prompt: str) -> np.ndarray:
+        text = f"This image is depicting a [MASK] view of {prompt}"
+        tokens = tok(text, return_tensors="pt")
+        mask_idx = (tokens.input_ids[0] == tok.mask_token_id).nonzero()[0]
+        with torch.no_grad():
+            logits = model(**tokens).logits
+        p = torch.softmax(logits[0, mask_idx], dim=-1)[0, view_ids]
+        return (p / p.sum()).numpy()
+
+    return probe
+
+
 class PromptProcessor:
     def __init__(
         self,
@@ -79,6 +146,7 @@ class PromptProcessor:
         model_name: str = "stub",
         part: str = "full",
         use_part_templates: bool = False,
+        debias_probe: Optional[Callable[[str], np.ndarray]] = None,
     ):
         self.prompt = (
             PART_TEMPLATES[part](prompt) if use_part_templates else prompt
@@ -89,8 +157,16 @@ class PromptProcessor:
         self.model_name = model_name
         os.makedirs(cache_dir, exist_ok=True)
 
+        if debias_probe is not None:
+            # Debiased per-view base prompts feed the direction templates
+            # (`base.py:429-438`).
+            bases = get_debiased_prompts(
+                self.prompt, debias_probe, n_views=len(DIRECTIONS)
+            )
+        else:
+            bases = [self.prompt] * len(DIRECTIONS)
         prompts = [self.prompt] + [
-            d.prompt(self.prompt) for d in DIRECTIONS
+            d.prompt(base) for d, base in zip(DIRECTIONS, bases)
         ]
         negatives = [negative_prompt] * len(prompts)
         self.cond = np.stack([self._embed(p) for p in prompts])

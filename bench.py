@@ -72,18 +72,31 @@ def main():
         out = render_gaussians(m, s, q, o, shc, cam, cfg, bg)
         return jnp.mean(out["image"] ** 2), out["num_pairs"]
 
-    step = jax.jit(jax.grad(lambda *a: loss(*a)[0], argnums=(0, 1, 2, 3, 4)))
+    grad_fn = jax.grad(lambda *a: loss(*a)[0], argnums=(0, 1, 2, 3, 4))
     np_pairs = int(jax.jit(lambda *a: loss(*a)[1])(means, scales, quats, opac, sh))
 
-    # Warmup / compile.
-    g = step(means, scales, quats, opac, sh)
-    jax.block_until_ready(g)
+    # Chain INNER steps per dispatch (sequential SGD-like updates, so XLA
+    # cannot CSE iterations): over the remote-TPU tunnel each dispatch costs
+    # ~3 ms of RPC overhead that would otherwise be billed to the kernel.
+    INNER = 5
+
+    @jax.jit
+    def steps(p):
+        def body(_, p):
+            g = grad_fn(*p)
+            return tuple(x - 1e-12 * gx for x, gx in zip(p, g))
+
+        return jax.lax.fori_loop(0, INNER, body, p)
+
+    p = (means, scales, quats, opac, sh)
+    p = steps(p)  # warmup / compile
+    jax.block_until_ready(p)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        g = step(means, scales, quats, opac, sh)
-    jax.block_until_ready(g)
-    dt = (time.perf_counter() - t0) / ITERS
+        p = steps(p)
+    jax.block_until_ready(p)
+    dt = (time.perf_counter() - t0) / (ITERS * INNER)
 
     rays_per_s = WIDTH * HEIGHT / dt
     print(

@@ -379,15 +379,28 @@ def _backward_kernel(
         @pl.when(c_end < nchunks)
         def _():
             start_dma(c_end, jax.lax.rem(c_end, 2)).wait()  # drain in-flight
-            out_s[0, :, 0:9] = jnp.zeros((CHUNK, 9), jnp.float32)
+            # Both compositing-path writes are drained above, so both slots
+            # are free: zero them once and stream the remaining chunks with
+            # the same lag-2 double buffering as the hot loop (a synchronous
+            # start+wait per 64 KB block serializes on DMA latency — on
+            # early-out-heavy scenes that drain dominated the kernel).
+            out_s[:, :, 0:9] = jnp.zeros((2, CHUNK, 9), jnp.float32)
 
             def zero_chunk(c, _):
-                dma = grad_dma(c, 0)
-                dma.start()
-                dma.wait()
+                @pl.when(c - 2 >= c_end)
+                def _():
+                    grad_dma(c - 2, jax.lax.rem(c, 2)).wait()
+
+                grad_dma(c, jax.lax.rem(c, 2)).start()
                 return 0
 
             jax.lax.fori_loop(c_end, nchunks, zero_chunk, 0)
+
+            @pl.when(nchunks - 2 >= c_end)
+            def _():
+                grad_dma(nchunks - 2, jax.lax.rem(nchunks - 2, 2)).wait()
+
+            grad_dma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
 
     pl.run_scoped(
         scoped,

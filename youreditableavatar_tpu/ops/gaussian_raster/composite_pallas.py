@@ -119,9 +119,11 @@ def _forward_kernel(
         def gauss_body(g, carry, c):
             trans, done, r_acc, g_acc, b_acc = carry
             slot = jax.lax.rem(c, 2)
-            i = c * CHUNK + g
+            # No (i < count) guard: slots past a tile's true count are zero
+            # rows (pad_tile_ranges scatters only real pairs), so alpha = 0
+            # fails the ALPHA_MIN test and the pair is inert by construction.
             alpha, ok, _, _, _ = _gauss_alpha(smem, slot, g, px, py)
-            ok = ok & (done < 0.5) & (i < count)
+            ok = ok & (done < 0.5)
             test_t = trans * (1.0 - alpha)
             trigger = ok & (test_t < T_EPS)
             contrib = ok & (~trigger)
@@ -202,14 +204,24 @@ def _backward_kernel(
     The naive port of `backward.cu:400-641` does 9 full (8,128)→scalar
     reductions per gaussian (each ~10 shuffle steps) — measured ~60% of the
     backward kernel's time. Instead the per-gaussian loop stores the 7
-    gradient INTEGRAND pixel planes (d_mean_x/y, d_conic_a/b/c integrands,
-    dα·G, and w = α·T) into VMEM scratch, and the pixel sums for all 128
-    gaussians of a chunk are taken jointly at chunk end — a tree reduction
-    over the pixel axis of a (128, 1024) matrix costs ~2 register ops per
-    gaussian per field vs ~10 for per-gaussian scalar reductions. The
-    per-pixel integrands are identical to the CUDA kernel's atomicAdd
-    arguments, so parity holds up to fp32 summation order (tree vs
-    sequential).
+    gradient INTEGRAND pixel planes into VMEM scratch, and the pixel sums for
+    all 128 gaussians of a chunk are taken jointly at chunk end — a tree
+    reduction over the pixel axis of a (128, 1024) matrix costs ~2 register
+    ops per gaussian per field vs ~10 for per-gaussian scalar reductions.
+
+    The planes are RAW MOMENTS of dpower, not the final field grads: the CUDA
+    atomicAdd arguments (`backward.cu:580-630`) are per-pair LINEAR maps of
+    the pixel sums Σdpower·dx, Σdpower·dy, Σdpower·dx², Σdpower·dxdy,
+    Σdpower·dy² with coefficients (conic, −0.5) that are constant per pair —
+    so the kernel emits the raw sums (saving ~7 VPU ops × 1024 px per pair)
+    and `_composite_bwd` applies the map as cheap (P,)-elementwise XLA ops:
+
+        d_mean_x = ca·S0 + cb·S1      d_conic_a = −½·S2
+        d_mean_y = cb·S0 + cc·S1      d_conic_b = −S3
+        d_opacity = S5                d_conic_c = −½·S4
+
+    Summation order per moment matches the CUDA per-pixel sums up to fp32
+    tree-vs-sequential reassociation, same as before.
 
     Output rows are lane-padded to 128 (HBM DMA requires 128-aligned minor
     slices); columns 0..8 hold the field grads, the caller slices them off.
@@ -248,9 +260,9 @@ def _backward_kernel(
         def gauss_body(g, carry, c):
             trans, done, pg_dot = carry
             slot = jax.lax.rem(c, 2)
-            i = c * CHUNK + g
+            # Zero padding rows are inert (alpha = 0); no (i < count) guard.
             alpha, ok, dx, dy, power = _gauss_alpha(smem, slot, g, px, py)
-            ok = ok & (done < 0.5) & (i < count)
+            ok = ok & (done < 0.5)
             test_t = trans * (1.0 - alpha)
             trigger = ok & (test_t < T_EPS)
             contrib = ok & (~trigger)
@@ -276,21 +288,17 @@ def _backward_kernel(
             raw = op * gauss
             dalpha = jnp.where(raw < ALPHA_CLAMP, dalpha, 0.0)  # 0.99 clamp
             dpower = dalpha * op * gauss
-            ca = _field(smem, slot, g, 2)
-            cb_c = _field(smem, slot, g, 3)
-            cc = _field(smem, slot, g, 4)
 
-            # Per-pixel gradient integrands (= the CUDA atomicAdd arguments,
-            # backward.cu:580-630); their pixel sums are taken jointly for
-            # the whole chunk in reduce_chunk.
+            # Raw dpower moments (see docstring): the per-pair linear map to
+            # field grads is applied by `_composite_bwd` outside the kernel.
             dpdx = dpower * dx
             dpdy = dpower * dy
-            pl_s[0, g] = ca * dpdx + cb_c * dpdy  # d mean_x
-            pl_s[1, g] = cb_c * dpdx + cc * dpdy  # d mean_y
-            pl_s[2, g] = -0.5 * (dpdx * dx)  # d conic_a
-            pl_s[3, g] = -(dpdx * dy)  # d conic_b
-            pl_s[4, g] = -0.5 * (dpdy * dy)  # d conic_c
-            pl_s[5, g] = dalpha * gauss  # d opacity
+            pl_s[0, g] = dpdx  # Σ → S0
+            pl_s[1, g] = dpdy  # Σ → S1
+            pl_s[2, g] = dpdx * dx  # Σ → S2
+            pl_s[3, g] = dpdx * dy  # Σ → S3
+            pl_s[4, g] = dpdy * dy  # Σ → S4
+            pl_s[5, g] = dalpha * gauss  # d opacity (S5)
             pl_s[6, g] = w  # color weight (× cot channel at chunk level)
 
             return (jnp.where(contrib, test_t, trans),
@@ -533,9 +541,31 @@ def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
         ],
         axis=1,
     )
-    dpair = _backward_call(
+    moments = _backward_call(
         pair_rows, starts, counts, packed, cot_pack, ntx, nty, tile_size,
         interpret,
+    )
+    # Per-pair linear map from raw dpower moments to field grads (see the
+    # backward kernel docstring). Pure (P,)-elementwise — XLA fuses it into
+    # the downstream scatter-add pass. Padding rows have zero conics, so
+    # their mean grads are cleanly zeroed here too.
+    s0, s1 = moments[:, 0], moments[:, 1]
+    ca, cb, cc = pair_rows[:, 2], pair_rows[:, 3], pair_rows[:, 4]
+    dpair = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    ca * s0 + cb * s1,  # d mean_x
+                    cb * s0 + cc * s1,  # d mean_y
+                    -0.5 * moments[:, 2],  # d conic_a
+                    -moments[:, 3],  # d conic_b
+                    -0.5 * moments[:, 4],  # d conic_c
+                ],
+                axis=1,
+            ),
+            moments[:, 5:NUM_FIELDS],  # d opacity, d color, zero padding
+        ],
+        axis=1,
     )
     return dpair, None, None
 

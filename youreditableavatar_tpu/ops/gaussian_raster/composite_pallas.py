@@ -68,10 +68,16 @@ def _field(smem, slot, g, f):
     return smem[slot, flat // LANE, flat % LANE]
 
 
-def _gauss_alpha(smem, slot, g, px, py):
-    """Per-pixel alpha of gaussian g (scalars from SMEM chunk row g)."""
-    mx = _field(smem, slot, g, 0)
-    my = _field(smem, slot, g, 1)
+def _gauss_alpha(smem, slot, g, px, py, bx=0.0, by=0.0):
+    """Per-pixel alpha of gaussian g (scalars from SMEM chunk row g).
+
+    px/py may be tile-local coordinates with (bx, by) the tile's pixel base:
+    the mean shift mx − bx is exact in fp32 (bx is a small integer; the fp32
+    grid only refines as magnitude drops), so dx/dy are bit-identical to the
+    absolute-coordinate computation.
+    """
+    mx = _field(smem, slot, g, 0) - bx
+    my = _field(smem, slot, g, 1) - by
     ca = _field(smem, slot, g, 2)
     cb = _field(smem, slot, g, 3)
     cc = _field(smem, slot, g, 4)
@@ -210,16 +216,32 @@ def _backward_kernel(
     ops per gaussian per field vs ~10 for per-gaussian scalar reductions.
 
     The planes are RAW MOMENTS of dpower, not the final field grads: the CUDA
-    atomicAdd arguments (`backward.cu:580-630`) are per-pair LINEAR maps of
-    the pixel sums Σdpower·dx, Σdpower·dy, Σdpower·dx², Σdpower·dxdy,
-    Σdpower·dy² with coefficients (conic, −0.5) that are constant per pair —
-    so the kernel emits the raw sums (saving ~7 VPU ops × 1024 px per pair)
-    and `_composite_bwd` applies the map as cheap (P,)-elementwise XLA ops:
+    atomicAdd arguments (`backward.cu:580-630`) for the mean/conic/opacity
+    grads are all per-pair LINEAR maps of the six dpower pixel moments
 
+        T0 = Σ dpower        T1x = Σ dpower·pxl     T1y = Σ dpower·pyl
+        T2xx = Σ dpower·pxl² T2xy = Σ dpower·pxl·pyl T2yy = Σ dpower·pyl²
+
+    over TILE-LOCAL pixel coordinates pxl/pyl ∈ [0, 32) (local coords keep
+    the moment magnitudes at the scale of dx/dy, so the expansion below has
+    no fp32 catastrophic cancellation; with absolute 512-px coords it would).
+    The per-pair loop therefore stores only TWO pixel planes — dpower and
+    w = α·T — instead of seven (saving ~5 VPU store+mul ops × 1024 px per
+    pair); the fixed moment planes multiply once per chunk in the joint
+    reduction, and `_composite_bwd` finishes with cheap (P,)-elementwise XLA
+    ops (mxl = mean_x − base_x, etc.):
+
+        S0 = Σdp·dx  = T1x − mxl·T0
+        S1 = Σdp·dy  = T1y − myl·T0
+        S2 = Σdp·dx² = T2xx − 2·mxl·T1x + mxl²·T0
+        S3 = Σdp·dxdy= T2xy − mxl·T1y − myl·T1x + mxl·myl·T0
+        S4 = Σdp·dy² = T2yy − 2·myl·T1y + myl²·T0
         d_mean_x = ca·S0 + cb·S1      d_conic_a = −½·S2
         d_mean_y = cb·S0 + cc·S1      d_conic_b = −S3
-        d_opacity = S5                d_conic_c = −½·S4
+        d_opacity = T0/op             d_conic_c = −½·S4
 
+    Output row columns: 0..5 = T moments, 6..8 = Σw·g{r,g,b}, 9..10 = the
+    tile's pixel base (bx, by) so the caller can localize the means.
     Summation order per moment matches the CUDA per-pixel sums up to fp32
     tree-vs-sequential reassociation, same as before.
 
@@ -229,7 +251,18 @@ def _backward_kernel(
     tile_id = pl.program_id(0)
     start = starts_ref[tile_id]
     count = counts_ref[tile_id]
-    px, py = _pixel_coords(tile_id, num_tiles_x, tile_size)
+    # Tile-local pixel coordinates + scalar tile base (see docstring).
+    bx = ((tile_id % num_tiles_x) * tile_size).astype(jnp.float32)
+    by = ((tile_id // num_tiles_x) * tile_size).astype(jnp.float32)
+    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+    c_ = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
+    p = r * LANE + c_
+    pxl = (p % tile_size).astype(jnp.float32)
+    pyl = (p // tile_size).astype(jnp.float32)
+    # Fixed moment planes (constant per tile, multiplied once per chunk).
+    pxx = pxl * pxl
+    pxy = pxl * pyl
+    pyy = pyl * pyl
     nchunks = pl.cdiv(count, CHUNK)
 
     gr = cot_ref[0, 0]
@@ -261,7 +294,9 @@ def _backward_kernel(
             trans, done, pg_dot = carry
             slot = jax.lax.rem(c, 2)
             # Zero padding rows are inert (alpha = 0); no (i < count) guard.
-            alpha, ok, dx, dy, power = _gauss_alpha(smem, slot, g, px, py)
+            alpha, ok, dx, dy, power = _gauss_alpha(
+                smem, slot, g, pxl, pyl, bx, by
+            )
             ok = ok & (done < 0.5)
             test_t = trans * (1.0 - alpha)
             trigger = ok & (test_t < T_EPS)
@@ -289,33 +324,31 @@ def _backward_kernel(
             dalpha = jnp.where(raw < ALPHA_CLAMP, dalpha, 0.0)  # 0.99 clamp
             dpower = dalpha * op * gauss
 
-            # Raw dpower moments (see docstring): the per-pair linear map to
-            # field grads is applied by `_composite_bwd` outside the kernel.
-            dpdx = dpower * dx
-            dpdy = dpower * dy
-            pl_s[0, g] = dpdx  # Σ → S0
-            pl_s[1, g] = dpdy  # Σ → S1
-            pl_s[2, g] = dpdx * dx  # Σ → S2
-            pl_s[3, g] = dpdx * dy  # Σ → S3
-            pl_s[4, g] = dpdy * dy  # Σ → S4
-            pl_s[5, g] = dalpha * gauss  # d opacity (S5)
-            pl_s[6, g] = w  # color weight (× cot channel at chunk level)
+            # Only two pixel planes per pair (see docstring): the moment
+            # multiplies happen once per chunk against the fixed planes.
+            pl_s[0, g] = dpower
+            pl_s[1, g] = w  # color weight (× cot channel at chunk level)
 
             return (jnp.where(contrib, test_t, trans),
                     jnp.where(trigger, 1.0, done),
                     pg_dot)
 
         def reduce_chunk(slot):
-            """Joint pixel-sum of the integrand planes for all 128 pairs."""
+            """Joint pixel-moment sums of the two planes for all 128 pairs."""
 
             def red(plane):  # (CHUNK, SUB, LANE) → (CHUNK, 1) pixel sums
                 return jnp.sum(
                     plane.reshape(CHUNK, SUB * LANE), axis=1, keepdims=True
                 )
 
-            for f in range(6):
-                out_s[slot, :, f:f + 1] = red(pl_s[f])
-            ww = pl_s[6]
+            dpw = pl_s[0]
+            out_s[slot, :, 0:1] = red(dpw)
+            out_s[slot, :, 1:2] = red(dpw * pxl[None])
+            out_s[slot, :, 2:3] = red(dpw * pyl[None])
+            out_s[slot, :, 3:4] = red(dpw * pxx[None])
+            out_s[slot, :, 4:5] = red(dpw * pxy[None])
+            out_s[slot, :, 5:6] = red(dpw * pyy[None])
+            ww = pl_s[1]
             out_s[slot, :, 6:7] = red(ww * gr[None])
             out_s[slot, :, 7:8] = red(ww * gg[None])
             out_s[slot, :, 8:9] = red(ww * gb[None])
@@ -358,10 +391,12 @@ def _backward_kernel(
             grad_dma(c, slot).start()
             return c + 1, state
 
-        # Columns 9..127 are lane padding (their cotangents are discarded by
-        # the caller's slice); zero them once up front — reduce_chunk never
-        # touches them.
-        out_s[:, :, 9:] = jnp.zeros((2, CHUNK, LANE - 9), jnp.float32)
+        # Columns 9/10 carry the tile base for the caller's localization;
+        # 11..127 are lane padding (discarded by the caller's slice). Write
+        # them once up front — reduce_chunk never touches them.
+        out_s[:, :, 9:10] = jnp.full((2, CHUNK, 1), bx, jnp.float32)
+        out_s[:, :, 10:11] = jnp.full((2, CHUNK, 1), by, jnp.float32)
+        out_s[:, :, 11:] = jnp.zeros((2, CHUNK, LANE - 11), jnp.float32)
 
         init = (
             jnp.ones((SUB, LANE), jnp.float32),
@@ -413,7 +448,7 @@ def _backward_kernel(
     pl.run_scoped(
         scoped,
         smem=pltpu.SMEM((2, CHUNK * NUM_FIELDS // LANE, LANE), jnp.float32),
-        pl_s=pltpu.VMEM((7, CHUNK, SUB, LANE), jnp.float32),
+        pl_s=pltpu.VMEM((2, CHUNK, SUB, LANE), jnp.float32),
         out_s=pltpu.VMEM((2, CHUNK, LANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
         gsem=pltpu.SemaphoreType.DMA((2,)),
@@ -547,23 +582,35 @@ def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
     )
     # Per-pair linear map from raw dpower moments to field grads (see the
     # backward kernel docstring). Pure (P,)-elementwise — XLA fuses it into
-    # the downstream scatter-add pass. Padding rows have zero conics, so
-    # their mean grads are cleanly zeroed here too.
-    s0, s1 = moments[:, 0], moments[:, 1]
+    # the downstream scatter-add pass. Padding rows have zero conics and
+    # opacity, so their grads are cleanly zeroed here too.
+    t0, t1x, t1y = moments[:, 0], moments[:, 1], moments[:, 2]
+    t2xx, t2xy, t2yy = moments[:, 3], moments[:, 4], moments[:, 5]
+    mxl = pair_rows[:, 0] - moments[:, 9]  # mean_x − tile base_x
+    myl = pair_rows[:, 1] - moments[:, 10]
     ca, cb, cc = pair_rows[:, 2], pair_rows[:, 3], pair_rows[:, 4]
+    op = pair_rows[:, 5]
+    s0 = t1x - mxl * t0
+    s1 = t1y - myl * t0
+    s2 = t2xx - 2.0 * mxl * t1x + mxl * mxl * t0
+    s3 = t2xy - mxl * t1y - myl * t1x + mxl * myl * t0
+    s4 = t2yy - 2.0 * myl * t1y + myl * myl * t0
     dpair = jnp.concatenate(
         [
             jnp.stack(
                 [
                     ca * s0 + cb * s1,  # d mean_x
                     cb * s0 + cc * s1,  # d mean_y
-                    -0.5 * moments[:, 2],  # d conic_a
-                    -moments[:, 3],  # d conic_b
-                    -0.5 * moments[:, 4],  # d conic_c
+                    -0.5 * s2,  # d conic_a
+                    -s3,  # d conic_b
+                    -0.5 * s4,  # d conic_c
+                    # Σ dα·G = Σ dpower/op (dpower = dα·op·G, op const/pair)
+                    jnp.where(op > 0.0, t0 / jnp.maximum(op, 1e-12), 0.0),
                 ],
                 axis=1,
             ),
-            moments[:, 5:NUM_FIELDS],  # d opacity, d color, zero padding
+            moments[:, 6:9],  # d color r, g, b
+            jnp.zeros((moments.shape[0], NUM_FIELDS - 9), moments.dtype),
         ],
         axis=1,
     )

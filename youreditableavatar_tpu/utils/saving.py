@@ -216,6 +216,40 @@ class WandbLogger:
             self._run.finish()
 
 
+class ProgressFile:
+    """Single-line progress file for UI frontends (gradio).
+
+    Equivalent of the reference's `ProgressCallback`
+    (`tetgs_spatial/utils/callbacks.py:120-157`): the file always holds ONE
+    current status line (truncate + rewrite), e.g.
+    "Generation progress: 42.00%".
+    """
+
+    def __init__(self, path: str | None):
+        self.path = path
+        self._fh = None
+
+    def write(self, msg: str) -> None:
+        if self.path is None:
+            return
+        if self._fh is None:
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            self._fh = open(self.path, "w")
+        self._fh.seek(0)
+        self._fh.truncate()
+        self._fh.write(msg)
+        self._fh.flush()
+
+    def step(self, step: int, max_steps: int) -> None:
+        pct = 100.0 * step / max(max_steps, 1)
+        self.write(f"Generation progress: {pct:.2f}%")
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+
 def snapshot_run(out_dir: str, config: Dict | None = None) -> None:
     """Record the invocation + config (ConfigSnapshotCallback + cmd.txt,
     `utils/callbacks.py:97-110`, `train_spatial.py:180-185`)."""

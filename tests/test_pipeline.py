@@ -46,8 +46,12 @@ def test_spatial_edit_with_random_sd15(tmp_path):
     arts = run_spatial_stage(
         str(tmp_path / "sp"), verts, faces, "a red jacket", scale,
         editing_region_info=region, guidance_backend="sd15-random",
+        progress_path=str(tmp_path / "sp" / "progress.txt"),
     )
     assert os.path.exists(arts["edit_mesh"])
+    # Gradio progress file: single current-status line, finishes at 100%.
+    with open(tmp_path / "sp" / "progress.txt") as fh:
+        assert fh.read() == "Generation progress: 100.00%"
 
     vdir = run_spatial_validate(
         str(tmp_path / "sp"), arts["ckpt"], scale, num_views=2,

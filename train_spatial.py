@@ -43,6 +43,9 @@ def main(argv=None):
     p.add_argument("--typecheck", action="store_true",
                    help="runtime checks: nan-debugging + jax checks "
                         "(reference --typecheck, train_spatial.py:83-86)")
+    p.add_argument("--gradio", action="store_true",
+                   help="write a single-line progress file for UI "
+                        "frontends (reference --gradio progress callback)")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
@@ -111,6 +114,9 @@ def main(argv=None):
         seed=cfg.seed, editing_region_info=region,
         guidance_backend=args.guidance, sd_weights=args.sd_weights,
         system_cfg=dict(cfg.system),
+        progress_path=(
+            f"{args.out}/progress.txt" if args.gradio else None
+        ),
     )
     print(arts)
 

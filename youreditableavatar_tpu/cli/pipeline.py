@@ -171,6 +171,7 @@ def run_spatial_stage(
     guidance_backend: str = "stub",
     sd_weights: Optional[str] = None,
     system_cfg: Optional[Dict] = None,
+    progress_path: Optional[str] = None,
 ) -> Dict[str, str]:
     """Stages 0+1: SDF init → (SDS edit over the localized region) → exports.
 
@@ -285,8 +286,14 @@ def run_spatial_stage(
             edit_cfg, scale.mesh_raster, seed=seed,
         )
         trainer.save_dir = out_dir
+        if progress_path is not None:
+            from youreditableavatar_tpu.utils.saving import ProgressFile
+
+            trainer.progress = ProgressFile(progress_path)
         key, k_edit = jax.random.split(key)
         params = trainer.train(k_edit)
+        if trainer.progress is not None:
+            trainer.progress.close()
         for rec in trainer.metrics:
             metrics.log(rec["step"], stage="human_edit", **{
                 k: v for k, v in rec.items() if k != "step"

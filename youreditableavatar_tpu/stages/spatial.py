@@ -322,6 +322,8 @@ class HumanEditTrainer:
         # Visual checkpoints (normal grids every cfg.image_every steps) are
         # written here when set (`humanedit.py:257-292`).
         self.save_dir: Optional[str] = None
+        # Optional utils.saving.ProgressFile for UI frontends.
+        self.progress = None
         # Optional image-guided editing targets (H, W, ...) in [0, 1]:
         # dict(front_normal, back_normal, front_mask) — `humanedit.py:144-150`.
         self.input_images: Optional[Dict[str, np.ndarray]] = None
@@ -556,4 +558,10 @@ class HumanEditTrainer:
         keys = jax.random.split(key, n)
         for i in range(n):
             self.train_step(keys[i])
+            # UI progress line (reference gradio ProgressCallback,
+            # `utils/callbacks.py:120-157`); None-safe no-op by default.
+            if self.progress is not None and (
+                i % self.cfg.log_every == 0 or i == n - 1
+            ):
+                self.progress.step(i + 1, n)
         return self.params

@@ -2,8 +2,9 @@
 
 Times each stage of render_gaussians' pallas path in isolation (own jit, with
 stop_gradient inputs so only the stage under test runs):
-  preprocess / binning / pad+scatter / row gather / fwd kernel / bwd kernel /
-  pair-grad row scatter-add (VJP of the gather) / full fwd / full fwd+bwd.
+  preprocess / binning / pad+scatter / row gather / qt build / fwd kernel /
+  bwd kernel / pair-grad row scatter-add (VJP of the gather) / full fwd /
+  full fwd+bwd.
 """
 
 import sys
@@ -27,12 +28,11 @@ from youreditableavatar_tpu.ops.gaussian_raster.binning import (
     bin_gaussians,
     pad_tile_ranges,
 )
-from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import NUM_FIELDS
 from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
     CHUNK,
-    _forward_call,
     _backward_call,
-    composite_tiles_pallas,
+    _build_qt,
+    _forward_call,
 )
 
 
@@ -71,47 +71,50 @@ def main():
     print(f"pad_tile_ranges:   {timeit(padf, binning):7.2f} ms")
 
     def build_fields(proj):
-        zeros = jnp.zeros_like(proj.opacity)
         return jnp.stack(
             [proj.mean2d[:, 0], proj.mean2d[:, 1],
              proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
              proj.opacity,
-             proj.color[:, 0], proj.color[:, 1], proj.color[:, 2]]
-            + [zeros] * (NUM_FIELDS - 9), axis=1)
+             proj.color[:, 0], proj.color[:, 1], proj.color[:, 2]], axis=1)
 
     fieldsf = jax.jit(build_fields)
     fields = fieldsf(proj)
     print(f"build fields:      {timeit(fieldsf, proj):7.2f} ms")
 
-    scat = jax.jit(lambda pg, d: jnp.zeros((padded_size,), jnp.int32).at[d].set(
-        pg + 1, mode="drop"))
-    pg_padded = scat(binning.pair_gauss, dst)
-    print(f"1-D id scatter:    {timeit(scat, binning.pair_gauss, dst):7.2f} ms")
+    scat = jax.jit(
+        lambda pg, pt, d: jnp.zeros((padded_size,), jnp.int32).at[d].set(
+            (pt << 20) | (pg + 1), mode="drop"))
+    packed_ids = scat(binning.pair_gauss, binning.pair_tile, dst)
+    print(f"1-D id scatter:    {timeit(scat, binning.pair_gauss, binning.pair_tile, dst):7.2f} ms")
 
-    gath = jax.jit(lambda f, pg: jnp.concatenate(
-        [jnp.zeros((1, NUM_FIELDS), f.dtype), f], axis=0)[pg])
-    pair_rows = gath(fields, pg_padded)
-    print(f"row gather:        {timeit(gath, fields, pg_padded):7.2f} ms")
+    gath = jax.jit(lambda f, p: jnp.concatenate(
+        [jnp.zeros((1, 9), f.dtype), f], axis=0)[p & ((1 << 20) - 1)])
+    pair_rows = gath(fields, packed_ids)
+    pair_tiles = packed_ids >> 20
+    print(f"row gather:        {timeit(gath, fields, packed_ids):7.2f} ms")
 
-    fwd = jax.jit(lambda pr, a, c: _forward_call(
-        pr, a, c, ntx, nty, ts, False))
-    packed = fwd(pair_rows, astart, binning.tile_count)
-    print(f"fwd kernel:        {timeit(fwd, pair_rows, astart, binning.tile_count):7.2f} ms")
+    qtf = jax.jit(lambda pr, pt: _build_qt(pr, pt, ntx, ts))
+    qt = qtf(pair_rows, pair_tiles)
+    print(f"qt build:          {timeit(qtf, pair_rows, pair_tiles):7.2f} ms")
+
+    fwd = jax.jit(lambda q, a, c: _forward_call(q, a, c, ts, False))
+    packed = fwd(qt, astart, binning.tile_count)
+    print(f"fwd kernel:        {timeit(fwd, qt, astart, binning.tile_count):7.2f} ms")
 
     cot = jnp.ones_like(packed)
-    bwd = jax.jit(lambda pr, a, c, pk, ct: _backward_call(
-        pr, a, c, pk, ct, ntx, nty, ts, False))
-    dpair = bwd(pair_rows, astart, binning.tile_count, packed, cot)
-    print(f"bwd kernel:        {timeit(bwd, pair_rows, astart, binning.tile_count, packed, cot):7.2f} ms")
+    bwd = jax.jit(lambda q, a, c, pk, ct: _backward_call(
+        q, a, c, pk, ct, ts, False))
+    moments = bwd(qt, astart, binning.tile_count, packed, cot)
+    print(f"bwd kernel:        {timeit(bwd, qt, astart, binning.tile_count, packed, cot):7.2f} ms")
 
     # VJP of the row gather = scatter-add of pair grad rows onto fields.
-    def gather_loss(f, pg, ct):
+    def gather_loss(f, p, ct):
         rows = jnp.concatenate(
-            [jnp.zeros((1, NUM_FIELDS), f.dtype), f], axis=0)[pg]
+            [jnp.zeros((1, 9), f.dtype), f], axis=0)[p & ((1 << 20) - 1)]
         return jnp.vdot(rows, ct)
     sadd = jax.jit(jax.grad(gather_loss, argnums=0))
-    _ = sadd(fields, pg_padded, dpair)
-    print(f"row scatter-add:   {timeit(sadd, fields, pg_padded, dpair):7.2f} ms")
+    _ = sadd(fields, packed_ids, moments)
+    print(f"row scatter-add:   {timeit(sadd, fields, packed_ids, moments):7.2f} ms")
 
     # Full forward / full fwd+bwd for reference.
     bg = jnp.zeros(3)

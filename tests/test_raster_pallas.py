@@ -51,12 +51,17 @@ def test_pallas_forward_matches_xla(scene):
         scene["means"], scene["scales"], scene["quats"], scene["opac"],
         None, cam, cfg_p, scene["bg"], colors_override=scene["colors"],
     )
-    np.testing.assert_allclose(
-        np.asarray(ox["image"]), np.asarray(op["image"]), atol=1e-6
-    )
-    np.testing.assert_allclose(
-        np.asarray(ox["final_t"]), np.asarray(op["final_t"]), atol=1e-6
-    )
+    # Tolerance note: the Pallas forward evaluates the falloff via the
+    # expanded tile-local polynomial on the MXU (see composite_pallas.py
+    # "Numerics") — fp32 reassociation vs the XLA backend's direct quadratic.
+    # Observed divergence ≤ ~2e-5 abs on this scene; rare rim pixels whose
+    # alpha sits within ~1e-6 of the 1/255 cull can flip between backends
+    # (bounded by 1/255·color ≈ 4e-3), so a tight mean bound guards the bulk
+    # while the max bound allows isolated flips.
+    di = np.abs(np.asarray(ox["image"]) - np.asarray(op["image"]))
+    assert di.max() < 5e-3 and di.mean() < 5e-6, (di.max(), di.mean())
+    dt = np.abs(np.asarray(ox["final_t"]) - np.asarray(op["final_t"]))
+    assert dt.max() < 5e-3 and dt.mean() < 5e-6, (dt.max(), dt.mean())
 
 
 def test_pallas_grads_match_xla(scene):
@@ -85,11 +90,12 @@ def test_pallas_grads_match_xla(scene):
     )(*args)
     # Tolerance note: the Pallas backward recovers per-pair mean/conic grads
     # from tile-local pixel MOMENTS (expanded quadratics, joint tree
-    # reduction) rather than per-pair direct sums — same math, different fp32
-    # summation order. Observed divergence vs the XLA backend is ≤ ~1e-6 abs
-    # (≤ ~2e-4 rel) on this scene; 5e-5·max|g| bounds it with margin.
+    # reduction, MXU falloff) rather than per-pair direct sums — same math,
+    # different fp32 evaluation order. Observed divergence vs the XLA
+    # backend is ≤ ~7e-5 relative on this scene; 3e-4·max|g| bounds it with
+    # margin.
     for a, b in zip(gx, gp):
         scale = float(jnp.abs(a).max()) + 1e-12
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=5e-5 * max(scale, 1e-3)
+            np.asarray(a), np.asarray(b), atol=3e-4 * max(scale, 1e-3)
         )

@@ -6,25 +6,41 @@ TPU-native re-design of `renderCUDA` (`forward.cu:261-374`) and its backward
   * 32×32-pixel tiles: each tile's pixel state is exactly one (8, 128) fp32
     VMEM tile (flat pixel p → x = p % 32, y = p // 32), so every per-Gaussian
     update is a handful of full-width VPU ops.
-  * Pair-major data layout: the depth-sorted (gaussian, tile) pair list is
-    materialized once as (P_pad, 16) rows (fields = mean_x, mean_y,
-    conic_a/b/c, opacity, r, g, b, 0…) and viewed as a flat
-    (P_pad·16/128, 128) matrix — row-major, so a 128-pair chunk is exactly
-    16 contiguous lane-rows and no (P,16)→(16,P) transpose is ever
-    materialized (its VJP alone cost ~8 ms at 512²). Every tile's range is
-    chunk-aligned (`pad_tile_ranges`); the kernel DMAs 16-row blocks into
-    double-buffered SMEM and reads per-Gaussian scalars from SMEM
-    (dynamic scalar indexing into VMEM does not compile on this target — SMEM
-    scalar reads are the supported pattern and what the scalar unit wants).
+  * MXU chunk pre-pass: the per-pair Gaussian falloff is a quadratic form in
+    the pixel coordinates, so for a 128-pair chunk ALL falloffs are ONE
+    (128, 16) × (16, 2·1024) matmul against a fixed tile-local pixel basis
+    [px², px·py, py², px, py, 1] — the per-pair quadratic coefficients are
+    precomputed on the (P,) axis by XLA glue (`_build_qt`) and shipped as a
+    (16, P_pad) column-major array the kernel DMAs in (16, 128) blocks. The
+    matmul's second 1024-column segment broadcasts per-pair opacity into a
+    pixel plane (constant basis row), giving batched alpha/cull/clamp planes
+    with no per-pair scalar reads at all (the SMEM scalar path of the first
+    design is gone). Per-pair colors ride the same block as rows 6..8 and
+    feed per-chunk MXU matmuls for the color accumulation (forward) and the
+    cotangent dot (backward).
+  * The sequential part — the front-to-back transmittance recurrence that
+    CUDA also cannot parallelize — is a minimal ~10-vec-op scan per pair over
+    precomputed planes.
+  * Pair-major layout: every tile's range is chunk-aligned
+    (`pad_tile_ranges`), so chunk DMAs are tile-exclusive.
   * Early termination: the sequential per-pixel `done` flag of the CUDA loop
     is carried as a vector mask; a whole tile exits its chunk loop when every
     pixel is done (replaces the CUDA per-thread `__syncthreads_count` vote).
   * Backward is a second forward-order sweep (no reverse iteration): with the
     saved output color C and final transmittance T_final, the suffix sum the
     CUDA backward accumulates back-to-front is S_i = C − P_i for a running
-    prefix P. Per-pair gradient rows are DMA'd back to HBM (tile-exclusive
-    blocks — no atomics) and scatter-added onto Gaussians by the VJP of the
-    pair row-gather (replacing CUDA atomicAdd).
+    prefix P. The kernel emits per-pair raw dpower moments over the fixed
+    pixel basis (see `_backward_kernel`); the per-pair linear map to field
+    grads runs as (P,)-elementwise XLA ops in `_composite_bwd`, and the
+    grads scatter-add onto Gaussians by the VJP of the pair row-gather
+    (replacing CUDA atomicAdd).
+
+Numerics: the MXU pre-pass evaluates the falloff via the EXPANDED tile-local
+polynomial (HIGHEST precision), where the first design (and the XLA backend)
+evaluate −½·(dx, dy)ᵀΣ⁻¹(dx, dy) directly per pair. The two differ by fp32
+reassociation only (≲1e-5 relative on alpha); pairs within ~1e-6 of the
+α ≥ 1/255 cull can flip between backends, so cross-backend tests compare
+distributionally (`scripts/tpu_check.py` does the same on hardware).
 """
 
 from __future__ import annotations
@@ -34,6 +50,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -41,80 +58,118 @@ from jax.experimental.pallas import tpu as pltpu
 from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import (
     ALPHA_CLAMP,
     ALPHA_MIN,
-    NUM_FIELDS,
     T_EPS,
 )
 
-CHUNK = 128  # pairs per SMEM chunk
+CHUNK = 128  # pairs per DMA chunk
 SUB, LANE = 8, 128  # pixel vector register shape; SUB*LANE = tile_size**2
+PIX = SUB * LANE
+QROWS = 16  # rows of the per-pair coefficient block (6 quad + 3 color + op)
+NGRAD = 9  # per-pair gradient fields (mean2, conic3, opacity, color3)
+
+_HI = jax.lax.Precision.HIGHEST
 
 
-def _pixel_coords(tile_id, num_tiles_x: int, tile_size: int):
-    """Screen coordinates of this tile's pixels as (8, 128) f32 vectors."""
-    base_x = (tile_id % num_tiles_x) * tile_size
-    base_y = (tile_id // num_tiles_x) * tile_size
-    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
-    p = r * LANE + c
-    px = (base_x + p % tile_size).astype(jnp.float32)
-    py = (base_y + p // tile_size).astype(jnp.float32)
-    return px, py
+@functools.lru_cache(maxsize=4)
+def _basis_np(tile_size: int) -> np.ndarray:
+    """(QROWS, 2·PIX) fixed pixel basis for the chunk matmul.
 
-
-def _field(smem, slot, g, f):
-    """Scalar field f of chunk-local gaussian g from the interleaved SMEM
-    block: flat index g·16+f → (row, lane) in the (16, 128) chunk."""
-    flat = g * NUM_FIELDS + f
-    return smem[slot, flat // LANE, flat % LANE]
-
-
-def _gauss_alpha(smem, slot, g, px, py, bx=0.0, by=0.0):
-    """Per-pixel alpha of gaussian g (scalars from SMEM chunk row g).
-
-    px/py may be tile-local coordinates with (bx, by) the tile's pixel base:
-    the mean shift mx − bx is exact in fp32 (bx is a small integer; the fp32
-    grid only refines as magnitude drops), so dx/dy are bit-identical to the
-    absolute-coordinate computation.
+    Left PIX columns: rows 0..5 = [px², px·py, py², px, py, 1] in tile-local
+    coordinates (power plane). Right PIX columns: row 9 = 1 (opacity
+    broadcast plane). Color rows 6..8 are zero — they ride the same (16, 128)
+    coefficient block but only feed the color matmuls.
     """
-    mx = _field(smem, slot, g, 0) - bx
-    my = _field(smem, slot, g, 1) - by
-    ca = _field(smem, slot, g, 2)
-    cb = _field(smem, slot, g, 3)
-    cc = _field(smem, slot, g, 4)
-    op = _field(smem, slot, g, 5)
-    dx = px - mx
-    dy = py - my
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    alpha = jnp.minimum(ALPHA_CLAMP, op * jnp.exp(power))
-    ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
-    return alpha, ok, dx, dy, power
+    p = np.arange(PIX)
+    pxl = (p % tile_size).astype(np.float32)
+    pyl = (p // tile_size).astype(np.float32)
+    b = np.zeros((QROWS, 2 * PIX), np.float32)
+    b[0, :PIX] = pxl * pxl
+    b[1, :PIX] = pxl * pyl
+    b[2, :PIX] = pyl * pyl
+    b[3, :PIX] = pxl
+    b[4, :PIX] = pyl
+    b[5, :PIX] = 1.0
+    b[9, PIX:] = 1.0
+    return b
+
+
+def _build_qt(pair_rows: Array, pair_tiles: Array, ntx: int,
+              tile_size: int) -> Array:
+    """(QROWS, P_pad) per-pair chunk-matmul coefficients (XLA glue, fused).
+
+    Expansion of power = −½(ca·dx² + cc·dy²) − cb·dx·dy with
+    dx = pxl − mxl, dy = pyl − myl in TILE-LOCAL coordinates (mxl = mean_x −
+    tile_base_x): local coords keep every polynomial term at O(conic·32²), so
+    the fp32 expansion has no catastrophic cancellation (absolute 512-px
+    coordinates would lose ~3 digits). Padding slots have all-zero rows and
+    tile 0 → zero coefficients → alpha 0 (inert).
+    """
+    mx, my = pair_rows[:, 0], pair_rows[:, 1]
+    ca, cb, cc = pair_rows[:, 2], pair_rows[:, 3], pair_rows[:, 4]
+    op = pair_rows[:, 5]
+    bx = (pair_tiles % ntx * tile_size).astype(jnp.float32)
+    by = (pair_tiles // ntx * tile_size).astype(jnp.float32)
+    mxl = mx - bx
+    myl = my - by
+    z = jnp.zeros_like(mx)
+    return jnp.stack(
+        [
+            -0.5 * ca,  # · px²
+            -cb,  # · px·py
+            -0.5 * cc,  # · py²
+            ca * mxl + cb * myl,  # · px
+            cb * mxl + cc * myl,  # · py
+            -0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl,
+            pair_rows[:, 6], pair_rows[:, 7], pair_rows[:, 8],  # color
+            op,  # opacity (broadcast via the right basis segment)
+            z, z, z, z, z, z,
+        ],
+        axis=0,
+    )
+
+
+def _alpha_planes(qblk, basis):
+    """Batched (CHUNK, PIX) alpha planes for one chunk (MXU + elementwise).
+
+    Returns (a0, araw): a0 is the effective alpha after the reference's cull
+    chain — power ≤ 0 (here: α_raw ≤ op, exactly equivalent since
+    α_raw = op·exp(power)), α ≥ 1/255, min(α, 0.99) (`forward.cu:336-351`) —
+    with culled/padding pairs at 0; araw = op·exp(power) feeds the backward's
+    0.99-clamp factor.
+    """
+    out2 = jax.lax.dot_general(
+        qblk, basis, (((0,), (0,)), ((), ())),
+        precision=_HI, preferred_element_type=jnp.float32,
+    )  # (CHUNK, 2·PIX)
+    power = out2[:, :PIX]
+    opp = out2[:, PIX:]
+    araw = opp * jnp.exp(power)
+    a0 = jnp.minimum(araw, ALPHA_CLAMP)
+    a0 = jnp.where((araw <= opp) & (a0 >= ALPHA_MIN), a0, 0.0)
+    return a0, araw
 
 
 def _forward_kernel(
     starts_ref,  # scalar prefetch: (T,) int32 chunk-aligned range starts
     counts_ref,  # scalar prefetch: (T,) int32 true pair counts
-    pair_hbm,  # (P_pad·16/128, 128) flat row-major pair rows in HBM
+    qt_hbm,  # (QROWS, P_pad) per-pair coefficients in HBM
+    basis_ref,  # (QROWS, 2·PIX) fixed pixel basis (VMEM)
     out_ref,  # (1, 4, SUB, LANE) VMEM: rows r, g, b, T
     *,
-    num_tiles_x: int,
-    tile_size: int,
     unroll: int = 1,
 ):
     tile_id = pl.program_id(0)
     start = starts_ref[tile_id]
     count = counts_ref[tile_id]
-    px, py = _pixel_coords(tile_id, num_tiles_x, tile_size)
     nchunks = pl.cdiv(count, CHUNK)
+    basis = basis_ref[...]
 
-    def scoped(smem, sems):
+    def scoped(qblk_s, a0_s, w_s, sems):
         def start_dma(c, slot):
-            # 128 pairs × 16 fields = 16 flat lane-rows per chunk.
-            row0 = pl.multiple_of(
-                (start + c * CHUNK) * NUM_FIELDS // LANE, NUM_FIELDS
-            )
+            col0 = pl.multiple_of(start + c * CHUNK, CHUNK)
             return pltpu.make_async_copy(
-                pair_hbm.at[pl.ds(row0, CHUNK * NUM_FIELDS // LANE), :],
-                smem.at[slot],
+                qt_hbm.at[:, pl.ds(col0, CHUNK)],
+                qblk_s.at[slot],
                 sems.at[slot],
             )
 
@@ -122,36 +177,25 @@ def _forward_kernel(
         def _():
             start_dma(0, 0).start()
 
-        def gauss_body(g, carry, c):
-            trans, done, r_acc, g_acc, b_acc = carry
-            slot = jax.lax.rem(c, 2)
-            # No (i < count) guard: slots past a tile's true count are zero
-            # rows (pad_tile_ranges scatters only real pairs), so alpha = 0
-            # fails the ALPHA_MIN test and the pair is inert by construction.
-            alpha, ok, _, _, _ = _gauss_alpha(smem, slot, g, px, py)
-            ok = ok & (done < 0.5)
-            test_t = trans * (1.0 - alpha)
+        def scan_body(g, carry):
+            # Minimal sequential recurrence (the only part CUDA cannot
+            # parallelize either): everything else is in the chunk pre-pass.
+            trans, done = carry
+            a = a0_s[g]
+            ok = (a > 0.0) & (done < 0.5)
+            test_t = trans * (1.0 - a)
             trigger = ok & (test_t < T_EPS)
             contrib = ok & (~trigger)
-            w = jnp.where(contrib, alpha * trans, 0.0)
-            cr = _field(smem, slot, g, 6)
-            cg = _field(smem, slot, g, 7)
-            cb_ = _field(smem, slot, g, 8)
-            return (
-                jnp.where(contrib, test_t, trans),
-                jnp.where(trigger, 1.0, done),
-                r_acc + w * cr,
-                g_acc + w * cg,
-                b_acc + w * cb_,
-            )
+            w_s[g] = jnp.where(contrib, a * trans, 0.0)
+            return (jnp.where(contrib, test_t, trans),
+                    jnp.where(trigger, 1.0, done))
 
         def chunk_cond(carry):
             c, state = carry
-            done = state[1]
-            return (c < nchunks) & (jnp.min(done) < 0.5)
+            return (c < nchunks) & (jnp.min(state[1]) < 0.5)
 
         def chunk_body(carry):
-            c, state = carry
+            c, (trans, done, racc, gacc, bacc) = carry
             slot = jax.lax.rem(c, 2)
             start_dma(c, slot).wait()
 
@@ -159,11 +203,21 @@ def _forward_kernel(
             def _():
                 start_dma(c + 1, jax.lax.rem(c + 1, 2)).start()
 
-            state = jax.lax.fori_loop(
-                0, CHUNK, functools.partial(gauss_body, c=c), state,
-                unroll=unroll,
+            q = qblk_s[slot]
+            a0, _ = _alpha_planes(q, basis)
+            a0_s[...] = a0.reshape(CHUNK, SUB, LANE)
+            trans, done = jax.lax.fori_loop(
+                0, CHUNK, scan_body, (trans, done), unroll=unroll
             )
-            return c + 1, state
+            # Color accumulation is order-independent given the w's: one
+            # (3, 128) × (128, PIX) MXU matmul replaces 6 VPU MACs per pair.
+            rgbc = jax.lax.dot_general(
+                q[6:9], w_s[...].reshape(CHUNK, PIX),
+                (((1,), (0,)), ((), ())),
+                precision=_HI, preferred_element_type=jnp.float32,
+            ).reshape(3, SUB, LANE)
+            return c + 1, (trans, done,
+                           racc + rgbc[0], gacc + rgbc[1], bacc + rgbc[2])
 
         init = (
             jnp.ones((SUB, LANE), jnp.float32),
@@ -188,7 +242,9 @@ def _forward_kernel(
 
     pl.run_scoped(
         scoped,
-        smem=pltpu.SMEM((2, CHUNK * NUM_FIELDS // LANE, LANE), jnp.float32),
+        qblk_s=pltpu.VMEM((2, QROWS, CHUNK), jnp.float32),
+        a0_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
+        w_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -196,64 +252,39 @@ def _forward_kernel(
 def _backward_kernel(
     starts_ref,  # scalar prefetch: (T,) int32
     counts_ref,  # scalar prefetch: (T,) int32
-    pair_flat,  # (P_pad·16/128, 128) flat HBM view (SMEM scalar chunks)
+    qt_hbm,  # (QROWS, P_pad) per-pair coefficients in HBM
+    basis_ref,  # (QROWS, 2·PIX) fixed pixel basis (VMEM)
     fwd_ref,  # (1, 4, SUB, LANE) VMEM: forward r, g, b, T_final
     cot_ref,  # (1, 4, SUB, LANE) VMEM: cotangents dr, dg, db, dT
-    dpair_hbm,  # out: (P_pad, 128) HBM grad rows, fields in cols 0..8
+    dpair_hbm,  # out: (P_pad, 128) HBM moment rows, cols 0..8 live
     *,
-    num_tiles_x: int,
     tile_size: int,
     unroll: int = 1,
 ):
-    """Analytic backward, re-designed around batched chunk-level reductions.
+    """Analytic backward: batched chunk pre-pass + minimal sequential scan.
 
-    The naive port of `backward.cu:400-641` does 9 full (8,128)→scalar
-    reductions per gaussian (each ~10 shuffle steps) — measured ~60% of the
-    backward kernel's time. Instead the per-gaussian loop stores the 7
-    gradient INTEGRAND pixel planes into VMEM scratch, and the pixel sums for
-    all 128 gaussians of a chunk are taken jointly at chunk end — a tree
-    reduction over the pixel axis of a (128, 1024) matrix costs ~2 register
-    ops per gaussian per field vs ~10 for per-gaussian scalar reductions.
-
-    The planes are RAW MOMENTS of dpower, not the final field grads: the CUDA
-    atomicAdd arguments (`backward.cu:580-630`) for the mean/conic/opacity
-    grads are all per-pair LINEAR maps of the six dpower pixel moments
+    The CUDA atomicAdd arguments (`backward.cu:580-630`) for the mean/conic/
+    opacity grads are per-pair LINEAR maps of the six dpower pixel moments
 
         T0 = Σ dpower        T1x = Σ dpower·pxl     T1y = Σ dpower·pyl
         T2xx = Σ dpower·pxl² T2xy = Σ dpower·pxl·pyl T2yy = Σ dpower·pyl²
 
     over TILE-LOCAL pixel coordinates pxl/pyl ∈ [0, 32) (local coords keep
-    the moment magnitudes at the scale of dx/dy, so the expansion below has
-    no fp32 catastrophic cancellation; with absolute 512-px coords it would).
-    The per-pair loop therefore stores only TWO pixel planes — dpower and
-    w = α·T — instead of seven (saving ~5 VPU store+mul ops × 1024 px per
-    pair); the fixed moment planes multiply once per chunk in the joint
-    reduction, and `_composite_bwd` finishes with cheap (P,)-elementwise XLA
-    ops (mxl = mean_x − base_x, etc.):
+    the moment magnitudes at the scale of dx/dy, so the expansion in
+    `_composite_bwd` has no fp32 catastrophic cancellation). The scan stores
+    only TWO pixel planes per pair — dpower and w = α·T — and the six moment
+    sums multiply once per chunk against fixed pixel planes; `_composite_bwd`
+    finishes with cheap (P,)-elementwise XLA ops.
 
-        S0 = Σdp·dx  = T1x − mxl·T0
-        S1 = Σdp·dy  = T1y − myl·T0
-        S2 = Σdp·dx² = T2xx − 2·mxl·T1x + mxl²·T0
-        S3 = Σdp·dxdy= T2xy − mxl·T1y − myl·T1x + mxl·myl·T0
-        S4 = Σdp·dy² = T2yy − 2·myl·T1y + myl²·T0
-        d_mean_x = ca·S0 + cb·S1      d_conic_a = −½·S2
-        d_mean_y = cb·S0 + cc·S1      d_conic_b = −S3
-        d_opacity = T0/op             d_conic_c = −½·S4
-
-    Output row columns: 0..5 = T moments, 6..8 = Σw·g{r,g,b}, 9..10 = the
-    tile's pixel base (bx, by) so the caller can localize the means.
-    Summation order per moment matches the CUDA per-pixel sums up to fp32
-    tree-vs-sequential reassociation, same as before.
-
-    Output rows are lane-padded to 128 (HBM DMA requires 128-aligned minor
-    slices); columns 0..8 hold the field grads, the caller slices them off.
+    Output row columns: 0..5 = T moments, 6..8 = Σw·g{r,g,b}; rows are
+    lane-padded to 128 (HBM DMA needs 128-aligned minor slices), the caller
+    slices the live columns.
     """
     tile_id = pl.program_id(0)
     start = starts_ref[tile_id]
     count = counts_ref[tile_id]
-    # Tile-local pixel coordinates + scalar tile base (see docstring).
-    bx = ((tile_id % num_tiles_x) * tile_size).astype(jnp.float32)
-    by = ((tile_id // num_tiles_x) * tile_size).astype(jnp.float32)
+    nchunks = pl.cdiv(count, CHUNK)
+    basis = basis_ref[...]
     r = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
     c_ = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
     p = r * LANE + c_
@@ -263,26 +294,27 @@ def _backward_kernel(
     pxx = pxl * pxl
     pxy = pxl * pyl
     pyy = pyl * pyl
-    nchunks = pl.cdiv(count, CHUNK)
 
     gr = cot_ref[0, 0]
     gg = cot_ref[0, 1]
     gb = cot_ref[0, 2]
     gt = cot_ref[0, 3]
     t_final = fwd_ref[0, 3]
-    gt_tf = gt * t_final  # per-pixel gT·T_final (reused every gaussian)
-    # C·g precomputed once: the suffix dot S·g = C·g − P·g needs only the
-    # RUNNING scalar P·g = Σ w·(c·g), not the three per-channel prefixes.
-    cg_img_dot = fwd_ref[0, 0] * gr + fwd_ref[0, 1] * gg + fwd_ref[0, 2] * gb
+    # dL/dα = T·(c·g) − (S·g)/(1−α) − gT·T_final/(1−α), S = C − P_incl.
+    # K = C·g + gT·T_final is constant per tile; the scan tracks only the
+    # RUNNING scalar P·g = Σ w·(c·g).
+    k_const = (
+        fwd_ref[0, 0] * gr + fwd_ref[0, 1] * gg + fwd_ref[0, 2] * gb
+        + gt * t_final
+    )
+    cot3 = jnp.stack([gr, gg, gb]).reshape(3, PIX)
 
-    def scoped(smem, pl_s, out_s, sems, gsem):
+    def scoped(qblk_s, a0_s, dpf_s, dcg_s, w_s, dpw_s, out_s, sems, gsem):
         def start_dma(c, slot):
-            row0 = pl.multiple_of(
-                (start + c * CHUNK) * NUM_FIELDS // LANE, NUM_FIELDS
-            )
+            col0 = pl.multiple_of(start + c * CHUNK, CHUNK)
             return pltpu.make_async_copy(
-                pair_flat.at[pl.ds(row0, CHUNK * NUM_FIELDS // LANE), :],
-                smem.at[slot],
+                qt_hbm.at[:, pl.ds(col0, CHUNK)],
+                qblk_s.at[slot],
                 sems.at[slot],
             )
 
@@ -290,45 +322,24 @@ def _backward_kernel(
         def _():
             start_dma(0, 0).start()
 
-        def gauss_body(g, carry, c):
+        def scan_body(g, carry):
             trans, done, pg_dot = carry
-            slot = jax.lax.rem(c, 2)
-            # Zero padding rows are inert (alpha = 0); no (i < count) guard.
-            alpha, ok, dx, dy, power = _gauss_alpha(
-                smem, slot, g, pxl, pyl, bx, by
-            )
-            ok = ok & (done < 0.5)
-            test_t = trans * (1.0 - alpha)
+            a = a0_s[g]
+            ok = (a > 0.0) & (done < 0.5)
+            test_t = trans * (1.0 - a)
             trigger = ok & (test_t < T_EPS)
             contrib = ok & (~trigger)
-            a_eff = jnp.where(contrib, alpha, 0.0)
+            a_eff = jnp.where(contrib, a, 0.0)
             w = a_eff * trans
-
-            cr = _field(smem, slot, g, 6)
-            cg = _field(smem, slot, g, 7)
-            cb_ = _field(smem, slot, g, 8)
-
-            # dL/dα = T·(c·g) − (S·g)/(1−α) − gT·T_final/(1−α), S = C − P_incl
-            dot_cg = cr * gr + cg * gg + cb_ * gb
-            pg_dot = pg_dot + w * dot_cg  # running P·g (inclusive)
+            w_s[g] = w
+            dcgp = dcg_s[g]
+            pg_dot = pg_dot + w * dcgp  # running P·g (inclusive)
             inv_om = 1.0 / (1.0 - a_eff)  # α ≤ 0.99 ⇒ safe
             dalpha = jnp.where(
-                contrib,
-                trans * dot_cg - (cg_img_dot - pg_dot + gt_tf) * inv_om,
-                0.0,
+                contrib, trans * dcgp - (k_const - pg_dot) * inv_om, 0.0
             )
-
-            op = _field(smem, slot, g, 5)
-            gauss = jnp.exp(power)
-            raw = op * gauss
-            dalpha = jnp.where(raw < ALPHA_CLAMP, dalpha, 0.0)  # 0.99 clamp
-            dpower = dalpha * op * gauss
-
-            # Only two pixel planes per pair (see docstring): the moment
-            # multiplies happen once per chunk against the fixed planes.
-            pl_s[0, g] = dpower
-            pl_s[1, g] = w  # color weight (× cot channel at chunk level)
-
+            # dpower = dα·op·gauss = dα·α_raw, zeroed past the 0.99 clamp.
+            dpw_s[g] = dalpha * dpf_s[g]
             return (jnp.where(contrib, test_t, trans),
                     jnp.where(trigger, 1.0, done),
                     pg_dot)
@@ -338,17 +349,17 @@ def _backward_kernel(
 
             def red(plane):  # (CHUNK, SUB, LANE) → (CHUNK, 1) pixel sums
                 return jnp.sum(
-                    plane.reshape(CHUNK, SUB * LANE), axis=1, keepdims=True
+                    plane.reshape(CHUNK, PIX), axis=1, keepdims=True
                 )
 
-            dpw = pl_s[0]
+            dpw = dpw_s[...]
             out_s[slot, :, 0:1] = red(dpw)
             out_s[slot, :, 1:2] = red(dpw * pxl[None])
             out_s[slot, :, 2:3] = red(dpw * pyl[None])
             out_s[slot, :, 3:4] = red(dpw * pxx[None])
             out_s[slot, :, 4:5] = red(dpw * pxy[None])
             out_s[slot, :, 5:6] = red(dpw * pyy[None])
-            ww = pl_s[1]
+            ww = w_s[...]
             out_s[slot, :, 6:7] = red(ww * gr[None])
             out_s[slot, :, 7:8] = red(ww * gg[None])
             out_s[slot, :, 8:9] = red(ww * gb[None])
@@ -357,14 +368,13 @@ def _backward_kernel(
             row0 = pl.multiple_of((start + c * CHUNK), CHUNK)
             return pltpu.make_async_copy(
                 out_s.at[slot],
-                dpair_hbm.at[pl.ds(row0, CHUNK), :],
+                dpair_hbm.at[pl.ds(row0, CHUNK)],
                 gsem.at[slot],
             )
 
         def chunk_cond(carry):
             c, state = carry
-            done = state[1]
-            return (c < nchunks) & (jnp.min(done) < 0.5)
+            return (c < nchunks) & (jnp.min(state[1]) < 0.5)
 
         def chunk_body(carry):
             c, state = carry
@@ -375,9 +385,20 @@ def _backward_kernel(
             def _():
                 start_dma(c + 1, jax.lax.rem(c + 1, 2)).start()
 
+            q = qblk_s[slot]
+            a0, araw = _alpha_planes(q, basis)
+            a0_s[...] = a0.reshape(CHUNK, SUB, LANE)
+            dpf_s[...] = jnp.where(araw < ALPHA_CLAMP, araw, 0.0).reshape(
+                CHUNK, SUB, LANE
+            )
+            # Per-pair cotangent dot as one (3,128) × (3,PIX) MXU matmul.
+            dcg_s[...] = jax.lax.dot_general(
+                q[6:9], cot3, (((0,), (0,)), ((), ())),
+                precision=_HI, preferred_element_type=jnp.float32,
+            ).reshape(CHUNK, SUB, LANE)
+
             state = jax.lax.fori_loop(
-                0, CHUNK, functools.partial(gauss_body, c=c), state,
-                unroll=unroll,
+                0, CHUNK, scan_body, state, unroll=unroll
             )
             # Double-buffered output: before reusing this slot's staging
             # buffer, drain the write issued two chunks ago — a synchronous
@@ -391,12 +412,9 @@ def _backward_kernel(
             grad_dma(c, slot).start()
             return c + 1, state
 
-        # Columns 9/10 carry the tile base for the caller's localization;
-        # 11..127 are lane padding (discarded by the caller's slice). Write
-        # them once up front — reduce_chunk never touches them.
-        out_s[:, :, 9:10] = jnp.full((2, CHUNK, 1), bx, jnp.float32)
-        out_s[:, :, 10:11] = jnp.full((2, CHUNK, 1), by, jnp.float32)
-        out_s[:, :, 11:] = jnp.zeros((2, CHUNK, LANE - 11), jnp.float32)
+        # Columns 9..127 are lane padding (discarded by the caller's slice);
+        # zero them once up front — reduce_chunk never touches them.
+        out_s[:, :, 9:] = jnp.zeros((2, CHUNK, LANE - 9), jnp.float32)
 
         init = (
             jnp.ones((SUB, LANE), jnp.float32),
@@ -447,29 +465,37 @@ def _backward_kernel(
 
     pl.run_scoped(
         scoped,
-        smem=pltpu.SMEM((2, CHUNK * NUM_FIELDS // LANE, LANE), jnp.float32),
-        pl_s=pltpu.VMEM((2, CHUNK, SUB, LANE), jnp.float32),
+        qblk_s=pltpu.VMEM((2, QROWS, CHUNK), jnp.float32),
+        a0_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
+        dpf_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
+        dcg_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
+        w_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
+        dpw_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
         out_s=pltpu.VMEM((2, CHUNK, LANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
         gsem=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
-def _forward_call(pair_rows, starts, counts, ntx, nty, tile_size, interpret):
+def _forward_call(qt, starts, counts, tile_size, interpret):
     num_t = starts.shape[0]
-    p_pad = pair_rows.shape[0]
-    pair_flat = pair_rows.reshape(p_pad * NUM_FIELDS // LANE, LANE)
-    # Mosaic only supports unroll ∈ {1, CHUNK}; the full unroll pipelines
-    # scalar loads/reductions across gaussians (~2× fwd, ~5× bwd speedup) but
-    # would explode interpreter-mode tracing, so interpret keeps unroll=1.
+    # Mosaic only supports unroll ∈ {1, CHUNK}; the full unroll makes every
+    # scratch-plane index static (plain VMEM loads) and pipelines the scan,
+    # but would explode interpreter-mode tracing, so interpret keeps 1.
     kernel = functools.partial(
-        _forward_kernel, num_tiles_x=ntx, tile_size=tile_size,
-        unroll=1 if interpret else CHUNK,
+        _forward_kernel, unroll=1 if interpret else CHUNK
     )
+    basis = jnp.asarray(_basis_np(tile_size))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_t,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (QROWS, 2 * PIX), lambda t, s, c: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
         out_specs=pl.BlockSpec(
             (1, 4, SUB, LANE), lambda t, s, c: (t, 0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -480,25 +506,27 @@ def _forward_call(pair_rows, starts, counts, ntx, nty, tile_size, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_t, 4, SUB, LANE), jnp.float32),
         interpret=interpret,
-    )(starts, counts, pair_flat)
+    )(starts, counts, qt, basis)
 
 
-def _backward_call(
-    pair_rows, starts, counts, fwd_pack, cot_pack, ntx, nty, tile_size,
-    interpret,
-):
+def _backward_call(qt, starts, counts, fwd_pack, cot_pack, tile_size,
+                   interpret):
     num_t = starts.shape[0]
-    p_pad = pair_rows.shape[0]
-    pair_flat = pair_rows.reshape(p_pad * NUM_FIELDS // LANE, LANE)
+    p_pad = qt.shape[1]
     kernel = functools.partial(
-        _backward_kernel, num_tiles_x=ntx, tile_size=tile_size,
+        _backward_kernel, tile_size=tile_size,
         unroll=1 if interpret else CHUNK,
     )
+    basis = jnp.asarray(_basis_np(tile_size))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_t,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (QROWS, 2 * PIX), lambda t, s, c: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (1, 4, SUB, LANE), lambda t, s, c: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -510,21 +538,22 @@ def _backward_call(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
     )
-    dpair = pl.pallas_call(
+    moments = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         # Lane-padded rows: HBM DMA needs 128-aligned minor slices, so the
-        # kernel writes (CHUNK, 128) blocks; only cols 0..8 carry grads.
+        # kernel writes (CHUNK, 128) blocks; only cols 0..8 carry moments.
         out_shape=jax.ShapeDtypeStruct((p_pad, LANE), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, pair_flat, fwd_pack, cot_pack)
-    return dpair[:, :NUM_FIELDS]
+    )(starts, counts, qt, basis, fwd_pack, cot_pack)
+    return moments[:, :NGRAD]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def composite_tiles_pallas(
     pair_rows: Array,
+    pair_tiles: Array,
     starts: Array,
     counts: Array,
     num_tiles_x: int,
@@ -535,38 +564,39 @@ def composite_tiles_pallas(
     """Pallas compositing over the pair-major layout.
 
     Args:
-      pair_rows: (P_pad, NUM_FIELDS) gathered field rows, depth-ordered
-        with chunk-aligned tile ranges (see `pad_tile_ranges`). Padding rows
-        must be zero (inert: alpha 0).
+      pair_rows: (P_pad, 9) gathered field rows [mean_x, mean_y, conic_a/b/c,
+        opacity, r, g, b], depth-ordered with chunk-aligned tile ranges (see
+        `pad_tile_ranges`). Padding rows must be zero (inert: alpha 0).
+      pair_tiles: (P_pad,) int32 tile id per slot (padding slots: any valid
+        id; their zero rows make them inert regardless).
       starts / counts: (T,) per-tile aligned start + true count.
     Returns:
       rgb: (T, 3, PIX); final_t: (T, PIX).
 
     The gradient w.r.t. pair_rows holds garbage in padding rows (the
-    backward kernels visit whole chunks); callers must only read real-pair
-    rows — the VJP of `scatter_pair_rows` does exactly that.
+    backward kernel visits whole chunks); callers must only read real-pair
+    rows — the VJP of the pair-row gather does exactly that.
     """
     out, _ = _composite_fwd(
-        pair_rows, starts, counts,
+        pair_rows, pair_tiles, starts, counts,
         num_tiles_x, num_tiles_y, tile_size, interpret,
     )
     return out
 
 
-def _composite_fwd(pair_rows, starts, counts, ntx, nty, tile_size, interpret):
-    if tile_size * tile_size != SUB * LANE:
+def _composite_fwd(pair_rows, pair_tiles, starts, counts, ntx, nty,
+                   tile_size, interpret):
+    if tile_size * tile_size != PIX:
         raise ValueError("pallas backend requires tile_size == 32")
-    packed = _forward_call(
-        pair_rows, starts, counts, ntx, nty, tile_size, interpret
-    )
-    pix = tile_size * tile_size
-    rgb = packed[:, :3].reshape(-1, 3, pix)
-    final_t = packed[:, 3].reshape(-1, pix)
-    return (rgb, final_t), (pair_rows, starts, counts, packed)
+    qt = _build_qt(pair_rows, pair_tiles, ntx, tile_size)
+    packed = _forward_call(qt, starts, counts, tile_size, interpret)
+    rgb = packed[:, :3].reshape(-1, 3, PIX)
+    final_t = packed[:, 3].reshape(-1, PIX)
+    return (rgb, final_t), (pair_rows, pair_tiles, qt, starts, counts, packed)
 
 
 def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
-    pair_rows, starts, counts, packed = residuals
+    pair_rows, pair_tiles, qt, starts, counts, packed = residuals
     drgb, dt = cot
     num_t = starts.shape[0]
     cot_pack = jnp.concatenate(
@@ -577,8 +607,7 @@ def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
         axis=1,
     )
     moments = _backward_call(
-        pair_rows, starts, counts, packed, cot_pack, ntx, nty, tile_size,
-        interpret,
+        qt, starts, counts, packed, cot_pack, tile_size, interpret
     )
     # Per-pair linear map from raw dpower moments to field grads (see the
     # backward kernel docstring). Pure (P,)-elementwise — XLA fuses it into
@@ -586,8 +615,10 @@ def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
     # opacity, so their grads are cleanly zeroed here too.
     t0, t1x, t1y = moments[:, 0], moments[:, 1], moments[:, 2]
     t2xx, t2xy, t2yy = moments[:, 3], moments[:, 4], moments[:, 5]
-    mxl = pair_rows[:, 0] - moments[:, 9]  # mean_x − tile base_x
-    myl = pair_rows[:, 1] - moments[:, 10]
+    bx = (pair_tiles % ntx * tile_size).astype(jnp.float32)
+    by = (pair_tiles // ntx * tile_size).astype(jnp.float32)
+    mxl = pair_rows[:, 0] - bx  # mean_x − tile base_x
+    myl = pair_rows[:, 1] - by
     ca, cb, cc = pair_rows[:, 2], pair_rows[:, 3], pair_rows[:, 4]
     op = pair_rows[:, 5]
     s0 = t1x - mxl * t0
@@ -610,11 +641,10 @@ def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
                 axis=1,
             ),
             moments[:, 6:9],  # d color r, g, b
-            jnp.zeros((moments.shape[0], NUM_FIELDS - 9), moments.dtype),
         ],
         axis=1,
     )
-    return dpair, None, None
+    return dpair, None, None, None
 
 
 composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)

@@ -21,7 +21,6 @@ from jax import Array
 
 from youreditableavatar_tpu.ops.gaussian_raster.binning import bin_gaussians
 from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import (
-    NUM_FIELDS,
     assemble_image,
     composite_tiles_xla,
     gather_pair_data,
@@ -55,17 +54,17 @@ def _resolve_backend(backend: str) -> str:
 def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
     """Chunk-aligned pair-row layout + aligned starts for the Pallas kernels.
 
-    Index-side padding: scatter (gaussian+1) ids into the chunk-aligned
-    layout (cheap 1-D scatter), then ONE row gather from fields with a zero
-    row prepended — padding slots hit row 0 (inert: alpha 0), and the
-    gather's VJP is ONE row scatter-add whose padding-slot garbage lands in
-    the zero row and is sliced off by concatenate's VJP. Gather/scatter run
-    ~3 GB/s on TPU regardless of row width, so the design minimizes the
-    NUMBER of row-indexed ops (one per direction). The kernels consume the
-    row-major layout through a flat (P·16/128, 128) view — no transpose is
-    ever materialized.
+    Index-side padding: scatter ONE packed int per pair — (tile << 20) |
+    (gaussian+1) — into the chunk-aligned layout (cheap 1-D scatter), then
+    ONE row gather from fields with a zero row prepended — padding slots hit
+    row 0 (inert: alpha 0), and the gather's VJP is ONE row scatter-add whose
+    padding-slot garbage lands in the zero row and is sliced off by
+    concatenate's VJP. Gather/scatter run ~3 GB/s on TPU regardless of row
+    width, so the design minimizes the NUMBER of row-indexed ops (one per
+    direction); the per-slot tile id the kernels' coefficient build needs
+    rides the same scatter for free.
 
-    Returns (pair_rows (P_pad, NUM_FIELDS), aligned_starts (T,)).
+    Returns (pair_rows (P_pad, 9), pair_tiles (P_pad,), aligned_starts (T,)).
     """
     from youreditableavatar_tpu.ops.gaussian_raster.binning import (
         pad_tile_ranges,
@@ -74,7 +73,14 @@ def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
         CHUNK,
     )
 
-    padded_size = pair_budget + ntx * nty * CHUNK
+    n = proj.mean2d.shape[0]
+    num_tiles = ntx * nty
+    if n + 1 >= 1 << 20 or num_tiles >= 1 << 11:
+        raise ValueError(
+            f"pallas pair packing supports < {(1 << 20) - 1} gaussians and "
+            f"< {1 << 11} tiles (got {n}, {num_tiles}); use the xla backend"
+        )
+    padded_size = pair_budget + num_tiles * CHUNK
     dst, astart, _total = pad_tile_ranges(binning, CHUNK, padded_size)
     fields = jnp.stack(
         [
@@ -88,20 +94,12 @@ def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
     fields_ext = jnp.concatenate(
         [jnp.zeros((1, 9), fields.dtype), fields], axis=0
     )
-    pg_padded = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
-        binning.pair_gauss + 1, mode="drop"
+    packed = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
+        (binning.pair_tile << 20) | (binning.pair_gauss + 1), mode="drop"
     )
-    # Gather only the 9 live columns, pad to the kernel's 16-field row width
-    # with a (cheap, bandwidth-only) broadcast concat: indexed-op cost scales
-    # with row width, and the VJP becomes a 9-wide scatter-add.
-    pair_rows = jnp.concatenate(
-        [
-            fields_ext[pg_padded],
-            jnp.zeros((padded_size, NUM_FIELDS - 9), fields.dtype),
-        ],
-        axis=1,
-    )
-    return pair_rows, astart
+    pg_padded = packed & ((1 << 20) - 1)
+    pair_tiles = packed >> 20
+    return fields_ext[pg_padded], pair_tiles, astart
 
 
 def render_gaussians(
@@ -165,11 +163,11 @@ def render_gaussians(
             composite_tiles_pallas,
         )
 
-        pair_rows, astart = build_pallas_pair_rows(
+        pair_rows, pair_tiles, astart = build_pallas_pair_rows(
             proj, binning, ntx, nty, cfg.pair_budget
         )
         rgb_tiles, t_tiles = composite_tiles_pallas(
-            pair_rows, astart, binning.tile_count,
+            pair_rows, pair_tiles, astart, binning.tile_count,
             ntx, nty, ts, cfg.pallas_interpret,
         )
     else:

@@ -255,9 +255,16 @@ class TestInpaintRefineSmoke:
             first_group=1, second_group=1, raster=RCFG,
             inpaint_steps=2, fb_res=32,
         )
+        from youreditableavatar_tpu.stages.localization import (
+            HeuristicSegmenter,
+        )
+
         pipe = SDXLControlNetUnionPipeline.random_init(jax.random.PRNGKey(9))
+        # Segmenter present → the joint views run the person-mask edge fix
+        # (`inpaint_utils.py:207-218`).
         trainer = InpaintTrainer(
-            eb, ep, tm, cams, pipe, "a red hat", "bad", cfg
+            eb, ep, tm, cams, pipe, "a red hat", "bad", cfg,
+            segmenter=HeuristicSegmenter("center"),
         )
         trainer.inpaint_training(jax.random.PRNGKey(0))
         assert len(trainer.history) == 3

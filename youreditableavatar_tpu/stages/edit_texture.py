@@ -120,6 +120,7 @@ class InpaintTrainer:
         prompt: str,
         negative_prompt: str = "",
         cfg: InpaintConfig = InpaintConfig(),
+        segmenter=None,
     ):
         self.binding = binding
         self.params = params
@@ -129,6 +130,12 @@ class InpaintTrainer:
         self.prompt = prompt
         self.negative_prompt = negative_prompt
         self.cfg = cfg
+        # Optional stages.localization.Segmenter for the front/back views'
+        # edge-misalignment fix (`inpaint_utils.py:207-218`): the guidance
+        # blend mask is intersected with a "person" mask of the inpainted
+        # image and max-pool dilated, so stray background pixels the
+        # diffusion model painted outside the subject don't become targets.
+        self.segmenter = segmenter
         self.tx = make_edit_optimizer(
             cfg.lr_sh, cfg.lr_opacity, _edit_param_mask()
         )
@@ -272,6 +279,18 @@ class InpaintTrainer:
             guidance = jnp.clip(jnp.asarray(guidance), 0.0, 1.0)
             # Composite: keep region from the current render.
             m = masks["inpaint_mask_soft"][..., None]
+            if self.segmenter is not None and fb_guidance is not None \
+                    and vi < 2:
+                from youreditableavatar_tpu.ops.morphology import dilate
+
+                # Edge fix for the joint views (`inpaint_utils.py:207-218`):
+                # blend only where the painted mask ∩ person mask says the
+                # subject is, dilated by a 15-px max-pool.
+                person = self.segmenter.segment(
+                    np.asarray(guidance), "person"
+                )
+                mm = (masks["inpaint_mask"] > 0.5) & jnp.asarray(person)
+                m = dilate(mm.astype(jnp.float32), size=15)[..., None]
             target = guidance * m + current * (1 - m)
 
             # Fit the edit gaussians to the composited target inside the

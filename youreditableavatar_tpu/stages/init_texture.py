@@ -128,6 +128,7 @@ class TetGSInitTrainer:
         self.opt_state = self.tx.init(params)
         self._steps: Dict[int, callable] = {}
         self.losses: List[float] = []
+        self.stats: List[dict] = []
 
     def _make_step(self, sh_degree: int):
         cfg = self.cfg
@@ -168,7 +169,20 @@ class TetGSInitTrainer:
             self._steps[sh_degree] = self._make_step(sh_degree)
         return self._steps[sh_degree]
 
-    def train(self, seed: int = 0, num_iterations: Optional[int] = None):
+    def param_stats(self) -> dict:
+        """min/max/mean/std of every Gaussian parameter tensor — the
+        reference's per-100-iter rich stats block (`refine.py:326-342`)."""
+        out = {}
+        for name, arr in dataclasses.asdict(self.params).items():
+            a = jnp.asarray(arr)
+            out[name] = {
+                "min": float(a.min()), "max": float(a.max()),
+                "mean": float(a.mean()), "std": float(a.std()),
+            }
+        return out
+
+    def train(self, seed: int = 0, num_iterations: Optional[int] = None,
+              verbose: bool = False):
         n_iter = num_iterations or self.cfg.num_iterations
         rng = np.random.default_rng(seed)
         t0 = time.time()
@@ -180,6 +194,14 @@ class TetGSInitTrainer:
             )
             if it % self.cfg.log_every == 0 or it == n_iter - 1:
                 self.losses.append(float(loss))
+                self.stats.append({"iteration": it, "loss": float(loss),
+                                   **self.param_stats()})
+                if verbose:
+                    print(f"[tetgs-init] it {it} loss {float(loss):.5f} "
+                          + " ".join(
+                              f"{k}[{v['min']:.3g},{v['max']:.3g}]"
+                              for k, v in self.stats[-1].items()
+                              if isinstance(v, dict)))
         self.elapsed = time.time() - t0
         return self.params
 

@@ -202,3 +202,40 @@ class TestSHRendering:
         np.testing.assert_allclose(
             np.asarray(out_sh["image"]), out_c["image"], atol=1e-5
         )
+
+
+class TestCheckedRender:
+    def test_clean_scene_passes_and_nan_scene_snapshots(self, scene, tmp_path):
+        from youreditableavatar_tpu.ops.gaussian_raster import (
+            render_gaussians_checked,
+        )
+
+        means, scales, quats, opac, colors, viewmat, cam, bg = scene
+        cfg = RasterizeConfig(
+            backend="xla", pair_budget=1 << 14, tile_capacity=1024
+        )
+        out = render_gaussians_checked(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), None, cam, cfg, jnp.asarray(bg),
+            colors_override=jnp.asarray(colors),
+            snapshot_path=str(tmp_path / "snap.npz"),
+        )
+        assert np.isfinite(np.asarray(out["image"])).all()
+        assert not (tmp_path / "snap.npz").exists()
+
+        # NaN-poisoned colors → RuntimeError + input snapshot on disk
+        # (reference rasterizer debug-mode semantics, __init__.py:83-90).
+        bad = np.asarray(colors).copy()
+        bad[0] = np.nan
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="snapshot"):
+            render_gaussians_checked(
+                jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                jnp.asarray(opac), None, cam, cfg, jnp.asarray(bg),
+                colors_override=jnp.asarray(bad),
+                snapshot_path=str(tmp_path / "snap.npz"),
+            )
+        snap = np.load(tmp_path / "snap.npz")
+        assert snap["means3d"].shape == means.shape
+        assert np.isnan(snap["colors_override"][0]).any()

@@ -21,7 +21,13 @@ images and gradients are `allclose` to the reference.
 from youreditableavatar_tpu.ops.gaussian_raster.render import (
     RasterizeConfig,
     render_gaussians,
+    render_gaussians_checked,
 )
 from youreditableavatar_tpu.ops.gaussian_raster.types import RasterCamera
 
-__all__ = ["RasterCamera", "RasterizeConfig", "render_gaussians"]
+__all__ = [
+    "RasterCamera",
+    "RasterizeConfig",
+    "render_gaussians",
+    "render_gaussians_checked",
+]

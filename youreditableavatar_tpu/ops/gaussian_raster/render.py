@@ -102,6 +102,52 @@ def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
     return fields_ext[pg_padded], pair_tiles, astart
 
 
+def render_gaussians_checked(
+    means3d, scales, quats, opacities, sh, camera,
+    cfg: RasterizeConfig = RasterizeConfig(),
+    bg=None, colors_override=None,
+    snapshot_path: str = "snapshot_fw.npz",
+) -> Dict[str, Array]:
+    """`render_gaussians` + host-side non-finite check with input snapshot.
+
+    Equivalent of the reference rasterizer's `debug` mode
+    (`diff_gaussian_rasterization/__init__.py:83-90`): on a CUDA exception it
+    dumps all kernel inputs to `snapshot_fw.dump` for offline repro. JAX has
+    no device exception to catch, so the check is output finiteness: if the
+    rendered image or alpha holds NaN/Inf, every input is saved to
+    `snapshot_path` (npz) and a RuntimeError names it. Not jittable — use
+    around isolated renders when debugging, not in the train step.
+    """
+    import numpy as np
+
+    out = render_gaussians(
+        means3d, scales, quats, opacities, sh, camera, cfg, bg,
+        colors_override,
+    )
+    img = np.asarray(out["image"])
+    alp = np.asarray(out["alpha"])
+    if not (np.isfinite(img).all() and np.isfinite(alp).all()):
+        np.savez(
+            snapshot_path,
+            means3d=np.asarray(means3d), scales=np.asarray(scales),
+            quats=np.asarray(quats), opacities=np.asarray(opacities),
+            sh=np.asarray(sh) if sh is not None else np.zeros(0),
+            colors_override=(
+                np.asarray(colors_override)
+                if colors_override is not None else np.zeros(0)
+            ),
+            viewmat=np.asarray(camera.viewmat),
+            fx=camera.fx, fy=camera.fy, cx=camera.cx, cy=camera.cy,
+            width=camera.width, height=camera.height,
+            bg=np.asarray(bg) if bg is not None else np.zeros(3),
+        )
+        raise RuntimeError(
+            f"non-finite render output; inputs saved to {snapshot_path} "
+            f"(reference debug-mode snapshot semantics)"
+        )
+    return out
+
+
 def render_gaussians(
     means3d: Array,
     scales: Array,

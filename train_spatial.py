@@ -46,6 +46,9 @@ def main(argv=None):
     p.add_argument("--gradio", action="store_true",
                    help="write a single-line progress file for UI "
                         "frontends (reference --gradio progress callback)")
+    p.add_argument("--init-debug", action="store_true",
+                   help="export the SDF-init meshes for inspection "
+                        "(reference init_debug, implicit_sdf.py:332-361)")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
@@ -117,6 +120,7 @@ def main(argv=None):
         progress_path=(
             f"{args.out}/progress.txt" if args.gradio else None
         ),
+        init_debug=args.init_debug,
     )
     print(arts)
 

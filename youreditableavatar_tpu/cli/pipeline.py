@@ -172,6 +172,7 @@ def run_spatial_stage(
     sd_weights: Optional[str] = None,
     system_cfg: Optional[Dict] = None,
     progress_path: Optional[str] = None,
+    init_debug: bool = False,
 ) -> Dict[str, str]:
     """Stages 0+1: SDF init → (SDS edit over the localized region) → exports.
 
@@ -198,7 +199,9 @@ def run_spatial_stage(
     initializer = ShapeInitializer(field, geometry, init_cfg)
     key, k_init = jax.random.split(key)
     params, info = initializer.run(
-        body_verts, body_faces, k_init, scale.mesh_raster
+        body_verts, body_faces, k_init, scale.mesh_raster,
+        debug_dir=os.path.join(out_dir, "init_debug") if init_debug
+        else None,
     )
     ckpt_path = os.path.join(out_dir, "initial_checkpoint")
     save_state(ckpt_path, params, step=0)

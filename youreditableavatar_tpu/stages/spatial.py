@@ -123,7 +123,12 @@ class ShapeInitializer:
         faces: np.ndarray,
         key: jax.Array,
         mesh_cfg: MeshRasterConfig = MeshRasterConfig(),
+        debug_dir: str = None,
     ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        """Fit the SDF to the body mesh. With `debug_dir` set, exports the
+        GT body mesh and the fitted isosurface as PLYs after each phase
+        (the reference's `init_debug` switch, `implicit_sdf.py:332-361`) so
+        alignment problems are visible before any edit training runs."""
         cfg = self.cfg
         k_init, k_pool, k_train, k_cam = jax.random.split(key, 4)
         params = self.field.init_params(k_init)
@@ -174,6 +179,24 @@ class ShapeInitializer:
             params, opt_state, loss = sdf_step(params, opt_state, keys[i])
             if i % 500 == 0:
                 losses.append(float(loss))
+
+        def _dump(tag, p):
+            if debug_dir is None:
+                return
+            import os
+
+            from youreditableavatar_tpu.utils.saving import save_ply
+
+            os.makedirs(debug_dir, exist_ok=True)
+            mt = self.geometry.isosurface(p, level_mask=init_mask)
+            nv = int(mt.num_verts)
+            fv = np.asarray(mt.faces)[np.asarray(mt.faces_valid)]
+            save_ply(os.path.join(debug_dir, f"init_{tag}.ply"),
+                     np.asarray(mt.verts)[:nv], fv)
+            save_ply(os.path.join(debug_dir, "init_gt_body.ply"),
+                     np.asarray(verts), np.asarray(faces))
+
+        _dump("sdf_phase", params)
 
         # Phase B: rendered-normal refinement vs the GT mesh's own normal
         # maps + a strong anchor on the pool SDF (`implicit_sdf.py:265-330`).
@@ -236,6 +259,7 @@ class ShapeInitializer:
             if i % 100 == 0:
                 losses.append(float(loss))
 
+        _dump("normal_phase", params)
         return params, {"losses": losses, "pool_size": cfg.sdf_pool_size}
 
 

@@ -209,8 +209,24 @@ def run_spatial_stage(
 
     mt = geometry.isosurface(params)
     init_mesh_path = os.path.join(out_dir, "init_mesh.npy")
-    export_init_mesh(init_mesh_path, mt)
-    artifacts = {"ckpt": ckpt_path, "init_mesh": init_mesh_path}
+    data = export_init_mesh(init_mesh_path, mt)
+    # Companion PLY the reference's run.sh hands to the localization stage
+    # as --seg_mesh_path (`mesh_exporter_init.py:65-81`, run.sh:51). Our
+    # localization back-projects against primitive ids so any watertight
+    # surface works; emit the same artifact for drop-in compatibility.
+    from youreditableavatar_tpu.utils.saving import save_ply
+
+    coarse_ply = os.path.join(out_dir, "init_mesh_coarse.ply")
+    save_ply(
+        coarse_ply,
+        np.asarray(data["mesh"]["vertices"], np.float32),
+        np.asarray(data["mesh"]["faces"]),
+    )
+    artifacts = {
+        "ckpt": ckpt_path,
+        "init_mesh": init_mesh_path,
+        "init_mesh_coarse": coarse_ply,
+    }
 
     if editing_region_info is not None:
         face_mask = np.zeros(mt.faces.shape[0], bool)

@@ -564,10 +564,14 @@ def run_synthetic_pipeline(out_dir: str, scale: Optional[PipelineScale] = None,
         cam.image = np.asarray(jnp.clip(img, 0, 1))
         gt_cams.append(cam)
 
+    from youreditableavatar_tpu.utils.misc import cleanup
+
     it_dir = os.path.join(out_dir, "init_texture")
     arts2 = run_init_texture_stage(
         it_dir, arts["init_mesh"], gt_cams, scale, vertex_colors=colors
     )
+    cleanup()  # drop stage-2 compilations before the edit stage (reference
+    # calls `cleanup()` between stages, `utils/misc.py:94-101`)
 
     # Stage 1 (edit) with the localized region, then export edit mesh.
     region = load_editing_region_info(arts2["editing_region_info"])
@@ -575,6 +579,7 @@ def run_synthetic_pipeline(out_dir: str, scale: Optional[PipelineScale] = None,
         sp_dir, body_verts, body_faces, prompt, scale,
         editing_region_info=region,
     )
+    cleanup()
 
     # Stage 4.
     et_dir = os.path.join(out_dir, "edit_texture")

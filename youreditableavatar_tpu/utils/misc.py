@@ -81,3 +81,17 @@ def scaled_dot_bf16(a: jax.Array, b: jax.Array) -> jax.Array:
         a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
+
+
+def cleanup() -> None:
+    """Free cached compilations + host garbage between pipeline stages.
+
+    Role of the reference's `cleanup()` (`utils/misc.py:94-101`: gc +
+    `torch.cuda.empty_cache` + tcnn context free). In JAX, device buffers
+    free with their last reference, so gc plus dropping the compilation
+    caches is the whole story; live arrays are untouched.
+    """
+    import gc
+
+    gc.collect()
+    jax.clear_caches()

@@ -2,9 +2,8 @@
 
 Times each stage of render_gaussians' pallas path in isolation (own jit, with
 stop_gradient inputs so only the stage under test runs):
-  preprocess / binning / pad+scatter / row gather / qt build / fwd kernel /
-  bwd kernel / pair-grad row scatter-add (VJP of the gather) / full fwd /
-  full fwd+bwd.
+  preprocess / binning / row gather / qt build / fwd kernel / bwd kernel /
+  pair-grad row scatter-add (VJP of the gather) / full fwd / full fwd+bwd.
 """
 
 import sys
@@ -26,7 +25,6 @@ from youreditableavatar_tpu.ops.gaussian_raster.preprocess import (
 )
 from youreditableavatar_tpu.ops.gaussian_raster.binning import (
     bin_gaussians,
-    pad_tile_ranges,
 )
 from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
     CHUNK,
@@ -65,11 +63,6 @@ def main():
     binning = binf(proj)
     print(f"binning:           {timeit(binf, proj):7.2f} ms")
 
-    padded_size = cfg.pair_budget + ntx * nty * CHUNK
-    padf = jax.jit(lambda b: pad_tile_ranges(b, CHUNK, padded_size))
-    dst, astart, total = padf(binning)
-    print(f"pad_tile_ranges:   {timeit(padf, binning):7.2f} ms")
-
     def build_fields(proj):
         return jnp.stack(
             [proj.mean2d[:, 0], proj.mean2d[:, 1],
@@ -81,40 +74,35 @@ def main():
     fields = fieldsf(proj)
     print(f"build fields:      {timeit(fieldsf, proj):7.2f} ms")
 
-    scat = jax.jit(
-        lambda pg, pt, d: jnp.zeros((padded_size,), jnp.int32).at[d].set(
-            (pt << 20) | (pg + 1), mode="drop"))
-    packed_ids = scat(binning.pair_gauss, binning.pair_tile, dst)
-    print(f"1-D id scatter:    {timeit(scat, binning.pair_gauss, binning.pair_tile, dst):7.2f} ms")
-
-    gath = jax.jit(lambda f, p: jnp.concatenate(
-        [jnp.zeros((1, 9), f.dtype), f], axis=0)[p & ((1 << 20) - 1)])
-    pair_rows = gath(fields, packed_ids)
-    pair_tiles = packed_ids >> 20
-    print(f"row gather:        {timeit(gath, fields, packed_ids):7.2f} ms")
+    gath = jax.jit(lambda f, pg: jnp.concatenate(
+        [jnp.zeros((1, 9), f.dtype), f], axis=0)[pg + 1])
+    pair_rows = gath(fields, binning.pair_gauss)
+    pair_tiles = binning.pair_tile
+    print(f"row gather:        {timeit(gath, fields, binning.pair_gauss):7.2f} ms")
 
     qtf = jax.jit(lambda pr, pt: _build_qt(pr, pt, ntx, ts))
     qt = qtf(pair_rows, pair_tiles)
     print(f"qt build:          {timeit(qtf, pair_rows, pair_tiles):7.2f} ms")
 
+    starts, tcounts = binning.tile_start, binning.tile_count
     fwd = jax.jit(lambda q, a, c: _forward_call(q, a, c, ts, False))
-    packed = fwd(qt, astart, binning.tile_count)
-    print(f"fwd kernel:        {timeit(fwd, qt, astart, binning.tile_count):7.2f} ms")
+    packed = fwd(qt, starts, tcounts)
+    print(f"fwd kernel:        {timeit(fwd, qt, starts, tcounts):7.2f} ms")
 
     cot = jnp.ones_like(packed)
     bwd = jax.jit(lambda q, a, c, pk, ct: _backward_call(
         q, a, c, pk, ct, ts, False))
-    moments = bwd(qt, astart, binning.tile_count, packed, cot)
-    print(f"bwd kernel:        {timeit(bwd, qt, astart, binning.tile_count, packed, cot):7.2f} ms")
+    moments = bwd(qt, starts, tcounts, packed, cot)
+    print(f"bwd kernel:        {timeit(bwd, qt, starts, tcounts, packed, cot):7.2f} ms")
 
     # VJP of the row gather = scatter-add of pair grad rows onto fields.
-    def gather_loss(f, p, ct):
+    def gather_loss(f, pg, ct):
         rows = jnp.concatenate(
-            [jnp.zeros((1, 9), f.dtype), f], axis=0)[p & ((1 << 20) - 1)]
+            [jnp.zeros((1, 9), f.dtype), f], axis=0)[pg + 1]
         return jnp.vdot(rows, ct)
     sadd = jax.jit(jax.grad(gather_loss, argnums=0))
-    _ = sadd(fields, packed_ids, moments)
-    print(f"row scatter-add:   {timeit(sadd, fields, packed_ids, moments):7.2f} ms")
+    _ = sadd(fields, binning.pair_gauss, moments)
+    print(f"row scatter-add:   {timeit(sadd, fields, binning.pair_gauss, moments):7.2f} ms")
 
     # Full forward / full fwd+bwd for reference.
     bg = jnp.zeros(3)
@@ -129,7 +117,7 @@ def main():
     full = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
     _ = full(means, scales, quats, opac, sh)
     print(f"FULL fwd+bwd:      {timeit(full, means, scales, quats, opac, sh):7.2f} ms")
-    print(f"num_pairs: {int(total)}")
+    print(f"num_pairs: {int(binning.num_pairs)}")
 
 
 if __name__ == "__main__":

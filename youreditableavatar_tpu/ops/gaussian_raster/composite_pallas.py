@@ -11,18 +11,23 @@ TPU-native re-design of `renderCUDA` (`forward.cu:261-374`) and its backward
     (128, 16) × (16, 2·1024) matmul against a fixed tile-local pixel basis
     [px², px·py, py², px, py, 1] — the per-pair quadratic coefficients are
     precomputed on the (P,) axis by XLA glue (`_build_qt`) and shipped as a
-    (16, P_pad) column-major array the kernel DMAs in (16, 128) blocks. The
+    (P, 16) row-major array the kernel DMAs in (128, 16) blocks. The
     matmul's second 1024-column segment broadcasts per-pair opacity into a
     pixel plane (constant basis row), giving batched alpha/cull/clamp planes
-    with no per-pair scalar reads at all (the SMEM scalar path of the first
-    design is gone). Per-pair colors ride the same block as rows 6..8 and
-    feed per-chunk MXU matmuls for the color accumulation (forward) and the
-    cotangent dot (backward).
+    with no per-pair scalar reads at all. Per-pair colors ride the same
+    block as columns 6..8 and feed per-chunk MXU matmuls for the color
+    accumulation (forward) and the cotangent dot (backward).
   * The sequential part — the front-to-back transmittance recurrence that
-    CUDA also cannot parallelize — is a minimal ~10-vec-op scan per pair over
-    precomputed planes.
-  * Pair-major layout: every tile's range is chunk-aligned
-    (`pad_tile_ranges`), so chunk DMAs are tile-exclusive.
+    CUDA also cannot parallelize — is a minimal ~10-vec-op scan per pair
+    over precomputed planes.
+  * UNPADDED pair layout: each tile's chunk DMAs start at its true (tile
+    start) row — (128, 16) row blocks are minor-dim-complete, so no start
+    alignment is needed and the chunk-padding scatter of the first design
+    (an O(P) 1-D indexed op, ~1.2 ms at 512²) is gone. A chunk's tail rows
+    may belong to the NEXT tile; a batched `row < count` plane zeroes them
+    in the pre-pass. Backward gradient blocks on the shared boundary are
+    written by both tiles; the grid is sequential ("arbitrary" dimension
+    semantics), so the later tile — the rows' owner — wins.
   * Early termination: the sequential per-pixel `done` flag of the CUDA loop
     is carried as a vector mask; a whole tile exits its chunk loop when every
     pixel is done (replaces the CUDA per-thread `__syncthreads_count` vote).
@@ -64,10 +69,11 @@ from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import (
 CHUNK = 128  # pairs per DMA chunk
 SUB, LANE = 8, 128  # pixel vector register shape; SUB*LANE = tile_size**2
 PIX = SUB * LANE
-QROWS = 16  # rows of the per-pair coefficient block (6 quad + 3 color + op)
+QROWS = 16  # columns of the per-pair coefficient block (6 quad + 3 color + op)
 NGRAD = 9  # per-pair gradient fields (mean2, conic3, opacity, color3)
 
 _HI = jax.lax.Precision.HIGHEST
+_SEQ = pltpu.CompilerParams(dimension_semantics=["arbitrary"])
 
 
 @functools.lru_cache(maxsize=4)
@@ -76,7 +82,7 @@ def _basis_np(tile_size: int) -> np.ndarray:
 
     Left PIX columns: rows 0..5 = [px², px·py, py², px, py, 1] in tile-local
     coordinates (power plane). Right PIX columns: row 9 = 1 (opacity
-    broadcast plane). Color rows 6..8 are zero — they ride the same (16, 128)
+    broadcast plane). Color rows 6..8 are zero — they ride the same (128, 16)
     coefficient block but only feed the color matmuls.
     """
     p = np.arange(PIX)
@@ -95,14 +101,14 @@ def _basis_np(tile_size: int) -> np.ndarray:
 
 def _build_qt(pair_rows: Array, pair_tiles: Array, ntx: int,
               tile_size: int) -> Array:
-    """(QROWS, P_pad) per-pair chunk-matmul coefficients (XLA glue, fused).
+    """(P + CHUNK, QROWS) per-pair chunk-matmul coefficients (XLA glue).
 
     Expansion of power = −½(ca·dx² + cc·dy²) − cb·dx·dy with
     dx = pxl − mxl, dy = pyl − myl in TILE-LOCAL coordinates (mxl = mean_x −
     tile_base_x): local coords keep every polynomial term at O(conic·32²), so
     the fp32 expansion has no catastrophic cancellation (absolute 512-px
-    coordinates would lose ~3 digits). Padding slots have all-zero rows and
-    tile 0 → zero coefficients → alpha 0 (inert).
+    coordinates would lose ~3 digits). The CHUNK zero tail rows keep the last
+    tile's final chunk DMA in bounds (zero coefficients → alpha 0, inert).
     """
     mx, my = pair_rows[:, 0], pair_rows[:, 1]
     ca, cb, cc = pair_rows[:, 2], pair_rows[:, 3], pair_rows[:, 4]
@@ -112,7 +118,7 @@ def _build_qt(pair_rows: Array, pair_tiles: Array, ntx: int,
     mxl = mx - bx
     myl = my - by
     z = jnp.zeros_like(mx)
-    return jnp.stack(
+    qt = jnp.stack(
         [
             -0.5 * ca,  # · px²
             -cb,  # · px·py
@@ -124,35 +130,41 @@ def _build_qt(pair_rows: Array, pair_tiles: Array, ntx: int,
             op,  # opacity (broadcast via the right basis segment)
             z, z, z, z, z, z,
         ],
-        axis=0,
+        axis=1,
+    )
+    return jnp.concatenate(
+        [qt, jnp.zeros((CHUNK, QROWS), qt.dtype)], axis=0
     )
 
 
-def _alpha_planes(qblk, basis):
+def _alpha_planes(qblk, basis, rem):
     """Batched (CHUNK, PIX) alpha planes for one chunk (MXU + elementwise).
 
-    Returns (a0, araw): a0 is the effective alpha after the reference's cull
+    Returns (a0, dpf): a0 is the effective alpha after the reference's cull
     chain — power ≤ 0 (here: α_raw ≤ op, exactly equivalent since
     α_raw = op·exp(power)), α ≥ 1/255, min(α, 0.99) (`forward.cu:336-351`) —
-    with culled/padding pairs at 0; araw = op·exp(power) feeds the backward's
-    0.99-clamp factor.
+    and dpf = α_raw zeroed past the 0.99 clamp (the backward's dpower
+    factor). Rows ≥ `rem` belong to the next tile (unpadded layout) and are
+    zeroed in both.
     """
     out2 = jax.lax.dot_general(
-        qblk, basis, (((0,), (0,)), ((), ())),
+        qblk, basis, (((1,), (0,)), ((), ())),
         precision=_HI, preferred_element_type=jnp.float32,
     )  # (CHUNK, 2·PIX)
     power = out2[:, :PIX]
     opp = out2[:, PIX:]
     araw = opp * jnp.exp(power)
+    live = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, PIX), 0) < rem
     a0 = jnp.minimum(araw, ALPHA_CLAMP)
-    a0 = jnp.where((araw <= opp) & (a0 >= ALPHA_MIN), a0, 0.0)
-    return a0, araw
+    a0 = jnp.where(live & (araw <= opp) & (a0 >= ALPHA_MIN), a0, 0.0)
+    dpf = jnp.where(live & (araw < ALPHA_CLAMP), araw, 0.0)
+    return a0, dpf
 
 
 def _forward_kernel(
-    starts_ref,  # scalar prefetch: (T,) int32 chunk-aligned range starts
-    counts_ref,  # scalar prefetch: (T,) int32 true pair counts
-    qt_hbm,  # (QROWS, P_pad) per-pair coefficients in HBM
+    starts_ref,  # scalar prefetch: (T,) int32 tile range starts (unaligned)
+    counts_ref,  # scalar prefetch: (T,) int32 pair counts
+    qt_hbm,  # (P + CHUNK, QROWS) per-pair coefficients in HBM
     basis_ref,  # (QROWS, 2·PIX) fixed pixel basis (VMEM)
     out_ref,  # (1, 4, SUB, LANE) VMEM: rows r, g, b, T
     *,
@@ -166,9 +178,8 @@ def _forward_kernel(
 
     def scoped(qblk_s, a0_s, w_s, sems):
         def start_dma(c, slot):
-            col0 = pl.multiple_of(start + c * CHUNK, CHUNK)
             return pltpu.make_async_copy(
-                qt_hbm.at[:, pl.ds(col0, CHUNK)],
+                qt_hbm.at[pl.ds(start + c * CHUNK, CHUNK)],
                 qblk_s.at[slot],
                 sems.at[slot],
             )
@@ -204,16 +215,16 @@ def _forward_kernel(
                 start_dma(c + 1, jax.lax.rem(c + 1, 2)).start()
 
             q = qblk_s[slot]
-            a0, _ = _alpha_planes(q, basis)
+            a0, _ = _alpha_planes(q, basis, count - c * CHUNK)
             a0_s[...] = a0.reshape(CHUNK, SUB, LANE)
             trans, done = jax.lax.fori_loop(
                 0, CHUNK, scan_body, (trans, done), unroll=unroll
             )
             # Color accumulation is order-independent given the w's: one
-            # (3, 128) × (128, PIX) MXU matmul replaces 6 VPU MACs per pair.
+            # (128, 3) × (128, PIX) MXU matmul replaces 6 VPU MACs per pair.
             rgbc = jax.lax.dot_general(
-                q[6:9], w_s[...].reshape(CHUNK, PIX),
-                (((1,), (0,)), ((), ())),
+                q[:, 6:9], w_s[...].reshape(CHUNK, PIX),
+                (((0,), (0,)), ((), ())),
                 precision=_HI, preferred_element_type=jnp.float32,
             ).reshape(3, SUB, LANE)
             return c + 1, (trans, done,
@@ -242,7 +253,7 @@ def _forward_kernel(
 
     pl.run_scoped(
         scoped,
-        qblk_s=pltpu.VMEM((2, QROWS, CHUNK), jnp.float32),
+        qblk_s=pltpu.VMEM((2, CHUNK, QROWS), jnp.float32),
         a0_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
         w_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
@@ -252,11 +263,11 @@ def _forward_kernel(
 def _backward_kernel(
     starts_ref,  # scalar prefetch: (T,) int32
     counts_ref,  # scalar prefetch: (T,) int32
-    qt_hbm,  # (QROWS, P_pad) per-pair coefficients in HBM
+    qt_hbm,  # (P + CHUNK, QROWS) per-pair coefficients in HBM
     basis_ref,  # (QROWS, 2·PIX) fixed pixel basis (VMEM)
     fwd_ref,  # (1, 4, SUB, LANE) VMEM: forward r, g, b, T_final
     cot_ref,  # (1, 4, SUB, LANE) VMEM: cotangents dr, dg, db, dT
-    dpair_hbm,  # out: (P_pad, 128) HBM moment rows, cols 0..8 live
+    dpair_hbm,  # out: (P + CHUNK, 128) HBM moment rows, cols 0..8 live
     *,
     tile_size: int,
     unroll: int = 1,
@@ -278,7 +289,9 @@ def _backward_kernel(
 
     Output row columns: 0..5 = T moments, 6..8 = Σw·g{r,g,b}; rows are
     lane-padded to 128 (HBM DMA needs 128-aligned minor slices), the caller
-    slices the live columns.
+    slices the live columns. Boundary rows shared with the next tile are
+    overwritten by it (sequential grid); rows of culled (sentinel-tile)
+    pairs are never written and are masked by the caller.
     """
     tile_id = pl.program_id(0)
     start = starts_ref[tile_id]
@@ -311,9 +324,8 @@ def _backward_kernel(
 
     def scoped(qblk_s, a0_s, dpf_s, dcg_s, w_s, dpw_s, out_s, sems, gsem):
         def start_dma(c, slot):
-            col0 = pl.multiple_of(start + c * CHUNK, CHUNK)
             return pltpu.make_async_copy(
-                qt_hbm.at[:, pl.ds(col0, CHUNK)],
+                qt_hbm.at[pl.ds(start + c * CHUNK, CHUNK)],
                 qblk_s.at[slot],
                 sems.at[slot],
             )
@@ -365,10 +377,9 @@ def _backward_kernel(
             out_s[slot, :, 8:9] = red(ww * gb[None])
 
         def grad_dma(c, slot):
-            row0 = pl.multiple_of((start + c * CHUNK), CHUNK)
             return pltpu.make_async_copy(
                 out_s.at[slot],
-                dpair_hbm.at[pl.ds(row0, CHUNK)],
+                dpair_hbm.at[pl.ds(start + c * CHUNK, CHUNK)],
                 gsem.at[slot],
             )
 
@@ -386,14 +397,12 @@ def _backward_kernel(
                 start_dma(c + 1, jax.lax.rem(c + 1, 2)).start()
 
             q = qblk_s[slot]
-            a0, araw = _alpha_planes(q, basis)
+            a0, dpf = _alpha_planes(q, basis, count - c * CHUNK)
             a0_s[...] = a0.reshape(CHUNK, SUB, LANE)
-            dpf_s[...] = jnp.where(araw < ALPHA_CLAMP, araw, 0.0).reshape(
-                CHUNK, SUB, LANE
-            )
-            # Per-pair cotangent dot as one (3,128) × (3,PIX) MXU matmul.
+            dpf_s[...] = dpf.reshape(CHUNK, SUB, LANE)
+            # Per-pair cotangent dot as one (128, 3) × (3, PIX) MXU matmul.
             dcg_s[...] = jax.lax.dot_general(
-                q[6:9], cot3, (((0,), (0,)), ((), ())),
+                q[:, 6:9], cot3, (((1,), (0,)), ((), ())),
                 precision=_HI, preferred_element_type=jnp.float32,
             ).reshape(CHUNK, SUB, LANE)
 
@@ -465,7 +474,7 @@ def _backward_kernel(
 
     pl.run_scoped(
         scoped,
-        qblk_s=pltpu.VMEM((2, QROWS, CHUNK), jnp.float32),
+        qblk_s=pltpu.VMEM((2, CHUNK, QROWS), jnp.float32),
         a0_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
         dpf_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
         dcg_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
@@ -506,13 +515,13 @@ def _forward_call(qt, starts, counts, tile_size, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_t, 4, SUB, LANE), jnp.float32),
         interpret=interpret,
+        compiler_params=_SEQ,
     )(starts, counts, qt, basis)
 
 
 def _backward_call(qt, starts, counts, fwd_pack, cot_pack, tile_size,
                    interpret):
     num_t = starts.shape[0]
-    p_pad = qt.shape[1]
     kernel = functools.partial(
         _backward_kernel, tile_size=tile_size,
         unroll=1 if interpret else CHUNK,
@@ -543,11 +552,13 @@ def _backward_call(qt, starts, counts, fwd_pack, cot_pack, tile_size,
         grid_spec=grid_spec,
         # Lane-padded rows: HBM DMA needs 128-aligned minor slices, so the
         # kernel writes (CHUNK, 128) blocks; only cols 0..8 carry moments.
-        out_shape=jax.ShapeDtypeStruct((p_pad, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((qt.shape[0], LANE), jnp.float32),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=["arbitrary"], has_side_effects=True,
+        ),
     )(starts, counts, qt, basis, fwd_pack, cot_pack)
-    return moments[:, :NGRAD]
+    return moments[: qt.shape[0] - CHUNK, :NGRAD]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -561,21 +572,19 @@ def composite_tiles_pallas(
     tile_size: int = 32,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
-    """Pallas compositing over the pair-major layout.
+    """Pallas compositing over the depth-sorted unpadded pair layout.
 
     Args:
-      pair_rows: (P_pad, 9) gathered field rows [mean_x, mean_y, conic_a/b/c,
-        opacity, r, g, b], depth-ordered with chunk-aligned tile ranges (see
-        `pad_tile_ranges`). Padding rows must be zero (inert: alpha 0).
-      pair_tiles: (P_pad,) int32 tile id per slot (padding slots: any valid
-        id; their zero rows make them inert regardless).
-      starts / counts: (T,) per-tile aligned start + true count.
+      pair_rows: (P, 9) gathered field rows [mean_x, mean_y, conic_a/b/c,
+        opacity, r, g, b] in (tile, depth) sort order — `bin_gaussians`'s
+        layout directly, no chunk-alignment padding. Culled/overflow pairs
+        carry the sentinel tile id and may hold real field rows; their
+        gradients are masked out here.
+      pair_tiles: (P,) int32 tile id per pair (sentinel = ntx·nty for
+        culled pairs, sorted to the end).
+      starts / counts: (T,) per-tile start + count in the sorted order.
     Returns:
       rgb: (T, 3, PIX); final_t: (T, PIX).
-
-    The gradient w.r.t. pair_rows holds garbage in padding rows (the
-    backward kernel visits whole chunks); callers must only read real-pair
-    rows — the VJP of the pair-row gather does exactly that.
     """
     out, _ = _composite_fwd(
         pair_rows, pair_tiles, starts, counts,
@@ -611,8 +620,8 @@ def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
     )
     # Per-pair linear map from raw dpower moments to field grads (see the
     # backward kernel docstring). Pure (P,)-elementwise — XLA fuses it into
-    # the downstream scatter-add pass. Padding rows have zero conics and
-    # opacity, so their grads are cleanly zeroed here too.
+    # the downstream scatter-add pass. Culled (sentinel-tile) pairs' rows
+    # were never written by any tile — mask them to zero.
     t0, t1x, t1y = moments[:, 0], moments[:, 1], moments[:, 2]
     t2xx, t2xy, t2yy = moments[:, 3], moments[:, 4], moments[:, 5]
     bx = (pair_tiles % ntx * tile_size).astype(jnp.float32)
@@ -644,6 +653,8 @@ def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
         ],
         axis=1,
     )
+    valid = (pair_tiles >= 0) & (pair_tiles < ntx * nty)
+    dpair = jnp.where(valid[:, None], dpair, 0.0)
     return dpair, None, None, None
 
 

@@ -52,36 +52,21 @@ def _resolve_backend(backend: str) -> str:
 
 
 def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
-    """Chunk-aligned pair-row layout + aligned starts for the Pallas kernels.
+    """Pair-row layout for the Pallas kernels — the sort order directly.
 
-    Index-side padding: scatter ONE packed int per pair — (tile << 20) |
-    (gaussian+1) — into the chunk-aligned layout (cheap 1-D scatter), then
-    ONE row gather from fields with a zero row prepended — padding slots hit
-    row 0 (inert: alpha 0), and the gather's VJP is ONE row scatter-add whose
-    padding-slot garbage lands in the zero row and is sliced off by
-    concatenate's VJP. Gather/scatter run ~3 GB/s on TPU regardless of row
-    width, so the design minimizes the NUMBER of row-indexed ops (one per
-    direction); the per-slot tile id the kernels' coefficient build needs
-    rides the same scatter for free.
+    The kernels consume `bin_gaussians`' (tile, depth)-sorted pair list with
+    NO chunk-alignment padding (row-major (P, 16) coefficient blocks DMA
+    from arbitrary row starts; boundary rows are masked/owned in-kernel), so
+    the only indexed op here is ONE row gather from fields — whose VJP is
+    ONE row scatter-add (CUDA atomicAdd's role). Indexed ops run ~3 GB/s on
+    TPU regardless of table size, so P-sized index-op COUNT is the currency.
 
-    Returns (pair_rows (P_pad, 9), pair_tiles (P_pad,), aligned_starts (T,)).
+    Culled/overflow pairs (sentinel tile, sorted to the end) gather real
+    field rows; the kernels never visit them and the backward masks their
+    gradients by tile id.
+
+    Returns (pair_rows (P, 9), pair_tiles (P,), starts (T,)).
     """
-    from youreditableavatar_tpu.ops.gaussian_raster.binning import (
-        pad_tile_ranges,
-    )
-    from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
-        CHUNK,
-    )
-
-    n = proj.mean2d.shape[0]
-    num_tiles = ntx * nty
-    if n + 1 >= 1 << 20 or num_tiles >= 1 << 11:
-        raise ValueError(
-            f"pallas pair packing supports < {(1 << 20) - 1} gaussians and "
-            f"< {1 << 11} tiles (got {n}, {num_tiles}); use the xla backend"
-        )
-    padded_size = pair_budget + num_tiles * CHUNK
-    dst, astart, _total = pad_tile_ranges(binning, CHUNK, padded_size)
     fields = jnp.stack(
         [
             proj.mean2d[:, 0], proj.mean2d[:, 1],
@@ -94,12 +79,11 @@ def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
     fields_ext = jnp.concatenate(
         [jnp.zeros((1, 9), fields.dtype), fields], axis=0
     )
-    packed = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
-        (binning.pair_tile << 20) | (binning.pair_gauss + 1), mode="drop"
+    return (
+        fields_ext[binning.pair_gauss + 1],
+        binning.pair_tile,
+        binning.tile_start,
     )
-    pg_padded = packed & ((1 << 20) - 1)
-    pair_tiles = packed >> 20
-    return fields_ext[pg_padded], pair_tiles, astart
 
 
 def render_gaussians_checked(

@@ -99,3 +99,83 @@ def test_pallas_grads_match_xla(scene):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-4 * max(scale, 1e-3)
         )
+
+
+def test_unpadded_chunk_boundaries_exact():
+    """Deterministic boundary check of the unpadded pair layout: tiles with
+    counts exactly at/around the 128-pair chunk edge, nonzero neighbors, and
+    a trailing sentinel block. The forward must match a per-tile NumPy
+    reference exactly and the backward must leave sentinel pairs and the
+    next tile's boundary rows with the OWNER tile's gradients."""
+    from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
+        CHUNK,
+        composite_tiles_pallas,
+    )
+
+    ntx, nty, ts = 2, 1, 32
+    rng = np.random.default_rng(5)
+    # Tile 0: 127 pairs, tile 1: 129 pairs (straddles one chunk), then 3
+    # sentinel pairs at the end. Total P = 259.
+    counts = np.array([127, 129], np.int32)
+    starts = np.array([0, 127], np.int32)
+    n_sent = 3
+    p_total = int(counts.sum()) + n_sent
+    tiles = np.concatenate(
+        [np.zeros(127, np.int32), np.ones(129, np.int32),
+         np.full(n_sent, ntx * nty, np.int32)]
+    )
+    rows = np.zeros((p_total, 9), np.float32)
+    # Means inside each pair's own tile; PD conics; mid alphas.
+    bx = (tiles % ntx) * ts
+    rows[:, 0] = bx + rng.uniform(4, 28, p_total)  # mean_x (abs coords)
+    rows[:, 1] = rng.uniform(4, 28, p_total)  # mean_y
+    rows[:, 2] = rng.uniform(0.05, 0.3, p_total)  # conic a
+    rows[:, 3] = rng.uniform(-0.02, 0.02, p_total)  # conic b
+    rows[:, 4] = rng.uniform(0.05, 0.3, p_total)  # conic c
+    rows[:, 5] = rng.uniform(0.3, 0.9, p_total)  # opacity
+    rows[:, 6:9] = rng.uniform(0, 1, (p_total, 3))
+
+    rgb, final_t = composite_tiles_pallas(
+        jnp.asarray(rows), jnp.asarray(tiles), jnp.asarray(starts),
+        jnp.asarray(counts), ntx, nty, ts, True,
+    )
+
+    # Per-tile NumPy reference (front-to-back alpha compositing).
+    for t in range(2):
+        px = np.arange(ts * ts) % ts + (t % ntx) * ts
+        py = np.arange(ts * ts) // ts
+        trans = np.ones(ts * ts)
+        img = np.zeros((3, ts * ts))
+        for p in range(starts[t], starts[t] + counts[t]):
+            dx = px - rows[p, 0]
+            dy = py - rows[p, 1]
+            power = -0.5 * (rows[p, 2] * dx * dx + rows[p, 4] * dy * dy) \
+                - rows[p, 3] * dx * dy
+            a = np.minimum(0.99, rows[p, 5] * np.exp(power))
+            a = np.where((power <= 0) & (a >= 1.0 / 255.0), a, 0.0)
+            test_t = trans * (1 - a)
+            live = (a > 0) & (test_t >= 1e-4)
+            w = np.where(live, a * trans, 0.0)
+            img += w[None] * rows[p, 6:9, None]
+            trans = np.where(live, test_t, trans)
+        # Same divergence envelope as the backend-parity tests: the kernel
+        # evaluates the falloff via the expanded tile-local polynomial, the
+        # NumPy reference directly — rim pixels near the α cull differ.
+        di = np.abs(np.asarray(rgb[t]) - img)
+        assert di.max() < 5e-3 and di.mean() < 5e-6, (di.max(), di.mean())
+        dt_ = np.abs(np.asarray(final_t[t]) - trans)
+        assert dt_.max() < 5e-3 and dt_.mean() < 5e-6
+
+    # Backward: grads must flow for real pairs and be exactly zero for
+    # sentinel pairs (their rows are real-valued but masked by tile id).
+    def loss(r):
+        rgb_, t_ = composite_tiles_pallas(
+            r, jnp.asarray(tiles), jnp.asarray(starts),
+            jnp.asarray(counts), ntx, nty, ts, True,
+        )
+        return jnp.sum(rgb_ ** 2) + jnp.sum(t_)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(rows)))
+    assert np.isfinite(g).all()
+    assert np.abs(g[: counts.sum()]).max() > 0
+    np.testing.assert_array_equal(g[counts.sum():], 0.0)

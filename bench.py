@@ -12,7 +12,9 @@ A6000-class parts); vs_baseline = measured / (2 × 2.62e7), so vs_baseline ≥ 1
 means the 2×-A6000 target is met.
 """
 
+import dataclasses
 import json
+import sys
 import time
 
 import jax
@@ -75,29 +77,48 @@ def main():
     means, scales, quats, opac, sh, cam = make_scene()
     bg = jnp.zeros(3)
 
-    def loss(m, s, q, o, shc):
-        out = render_gaussians(m, s, q, o, shc, cam, cfg, bg)
-        return jnp.mean(out["image"] ** 2), out["num_pairs"]
-
-    grad_fn = jax.grad(lambda *a: loss(*a)[0], argnums=(0, 1, 2, 3, 4))
-    np_pairs = int(jax.jit(lambda *a: loss(*a)[1])(means, scales, quats, opac, sh))
-
     # Chain INNER steps per dispatch (sequential SGD-like updates, so XLA
     # cannot CSE iterations): over the remote-TPU tunnel each dispatch costs
     # ~3 ms of RPC overhead that would otherwise be billed to the kernel.
     INNER = 5
 
-    @jax.jit
-    def steps(p):
-        def body(_, p):
-            g = grad_fn(*p)
-            return tuple(x - 1e-12 * gx for x, gx in zip(p, g))
+    def make_steps(c):
+        def loss(m, s, q, o, shc):
+            out = render_gaussians(m, s, q, o, shc, cam, c, bg)
+            return jnp.mean(out["image"] ** 2), out["num_pairs"]
 
-        return jax.lax.fori_loop(0, INNER, body, p)
+        grad_fn = jax.grad(lambda *a: loss(*a)[0], argnums=(0, 1, 2, 3, 4))
+
+        @jax.jit
+        def steps(p):
+            def body(_, p):
+                g = grad_fn(*p)
+                return tuple(x - 1e-12 * gx for x, gx in zip(p, g))
+
+            return jax.lax.fori_loop(0, INNER, body, p)
+
+        pairs_fn = jax.jit(lambda *a: loss(*a)[1])
+        return steps, pairs_fn
+
+    steps, pairs_fn = make_steps(cfg)
+    np_pairs = int(pairs_fn(means, scales, quats, opac, sh))
 
     p = (means, scales, quats, opac, sh)
-    p = steps(p)  # warmup / compile
-    jax.block_until_ready(p)
+    try:
+        p = steps(p)  # warmup / compile
+        jax.block_until_ready(p)
+    except Exception as e:  # pragma: no cover - hardware-lowering safety net
+        if cfg.backend != "pallas":
+            raise
+        # Mosaic lowering regression: still produce a bench number on the
+        # XLA backend and SAY SO, rather than crashing with no record.
+        sys.stderr.write(f"pallas path failed on this target ({e!r}); "
+                         "falling back to xla backend\n")
+        cfg = dataclasses.replace(cfg, backend="xla", tile_capacity=2048)
+        steps, _ = make_steps(cfg)
+        p = (means, scales, quats, opac, sh)
+        p = steps(p)
+        jax.block_until_ready(p)
 
     def measure():
         nonlocal p

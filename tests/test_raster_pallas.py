@@ -179,3 +179,44 @@ def test_unpadded_chunk_boundaries_exact():
     assert np.isfinite(g).all()
     assert np.abs(g[: counts.sum()]).max() > 0
     np.testing.assert_array_equal(g[counts.sum():], 0.0)
+
+
+def test_fused_bwd_accum_matches_unfused(scene):
+    """The fused in-kernel gradient accumulation (per-gaussian VMEM table)
+    must reproduce the unfused path's grads up to fp32 accumulation order
+    (same moments, same map; only the scatter order differs)."""
+    cam = _cams()
+    base = dict(backend="pallas", pair_budget=1 << 13, pallas_interpret=True)
+    cfg_u = RasterizeConfig(**base)
+    cfg_f = RasterizeConfig(**base, fused_bwd_accum=True)
+
+    def lossf(cfg):
+        def loss(m, s, q, o, c):
+            out = render_gaussians(
+                m, s, q, o, None, cam, cfg, scene["bg"], colors_override=c
+            )
+            return jnp.mean(out["image"] ** 2) + 0.1 * jnp.mean(out["alpha"])
+
+        return loss
+
+    args = (scene["means"], scene["scales"], scene["quats"], scene["opac"],
+            scene["colors"])
+    ou = render_gaussians(
+        *args[:4], None, cam, cfg_u, scene["bg"], colors_override=args[4]
+    )
+    of = render_gaussians(
+        *args[:4], None, cam, cfg_f, scene["bg"], colors_override=args[4]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ou["image"]), np.asarray(of["image"]), atol=1e-6
+    )
+    gu = jax.grad(lossf(cfg_u), argnums=(0, 1, 2, 3, 4))(*args)
+    gf = jax.grad(lossf(cfg_f), argnums=(0, 1, 2, 3, 4))(*args)
+    # Identical moments and map; only the per-gaussian accumulation ORDER
+    # differs (XLA scatter-add tree vs sequential in-kernel RMW) — observed
+    # ≤ ~1e-6 abs / ~1e-4 rel on this scene.
+    for a, b in zip(gu, gf):
+        scale = float(jnp.abs(a).max()) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4 * max(scale, 1e-3)
+        )

@@ -659,3 +659,344 @@ def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
 
 
 composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused backward: in-kernel per-gaussian gradient accumulation
+# ---------------------------------------------------------------------------
+#
+# The unfused path emits per-pair moment rows to HBM and relies on XLA for
+# the moment→grad map and the P-sized scatter-add onto gaussians (the VJP of
+# the pair row gather) — an O(P) indexed op measured at ~2.5 ms at 512²/100k.
+# The fused variant applies the map in-kernel on (CHUNK, 1) columns and
+# accumulates each pair's (1, 16) grad row directly into a per-gaussian VMEM
+# table (CUDA's atomicAdd role, race-free because the grid is sequential),
+# so the backward's only XLA epilogue is a slice. Gated behind
+# `RasterizeConfig.fused_bwd_accum`: the 128 sequential read-modify-write row
+# updates per chunk may serialize on VMEM latency — measure with
+# `scripts/exp_vmem_scatter.py` before flipping the default.
+
+
+def _backward_kernel_fused(
+    starts_ref,  # scalar prefetch: (T,) int32
+    counts_ref,  # scalar prefetch: (T,) int32
+    qt_hbm,  # (P + CHUNK, QROWS) coefficients
+    qc_hbm,  # (P + CHUNK, 8) map columns [mxl, myl, ca, cb, cc, op, 0, 0]
+    ids_hbm,  # (P + CHUNK,) int32 gaussian id + 1 (0 = trash row)
+    basis_ref,  # (QROWS, 2·PIX) fixed pixel basis (VMEM)
+    fwd_ref,  # (1, 4, SUB, LANE)
+    cot_ref,  # (1, 4, SUB, LANE)
+    acc_ref,  # out: (N + 1, QROWS) VMEM per-gaussian grad accumulator
+    *,
+    tile_size: int,
+    unroll: int = 1,
+):
+    tile_id = pl.program_id(0)
+    start = starts_ref[tile_id]
+    count = counts_ref[tile_id]
+    nchunks = pl.cdiv(count, CHUNK)
+    basis = basis_ref[...]
+    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+    c_ = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
+    p = r * LANE + c_
+    pxl = (p % tile_size).astype(jnp.float32)
+    pyl = (p // tile_size).astype(jnp.float32)
+    pxx = pxl * pxl
+    pxy = pxl * pyl
+    pyy = pyl * pyl
+
+    gr = cot_ref[0, 0]
+    gg = cot_ref[0, 1]
+    gb = cot_ref[0, 2]
+    gt = cot_ref[0, 3]
+    t_final = fwd_ref[0, 3]
+    k_const = (
+        fwd_ref[0, 0] * gr + fwd_ref[0, 1] * gg + fwd_ref[0, 2] * gb
+        + gt * t_final
+    )
+    cot3 = jnp.stack([gr, gg, gb]).reshape(3, PIX)
+
+    @pl.when(tile_id == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def scoped(qblk_s, qcblk_s, ids_s, a0_s, dpf_s, dcg_s, w_s, dpw_s,
+               gmat_s, sems, qcsems, isems):
+        def start_dma(c, slot):
+            row0 = start + c * CHUNK
+            return (
+                pltpu.make_async_copy(
+                    qt_hbm.at[pl.ds(row0, CHUNK)], qblk_s.at[slot],
+                    sems.at[slot],
+                ),
+                pltpu.make_async_copy(
+                    qc_hbm.at[pl.ds(row0, CHUNK)], qcblk_s.at[slot],
+                    qcsems.at[slot],
+                ),
+                pltpu.make_async_copy(
+                    ids_hbm.at[pl.ds(row0, CHUNK)], ids_s.at[slot],
+                    isems.at[slot],
+                ),
+            )
+
+        @pl.when(nchunks > 0)
+        def _():
+            for m in start_dma(0, 0):
+                m.start()
+
+        def scan_body(g, carry):
+            trans, done, pg_dot = carry
+            a = a0_s[g]
+            ok = (a > 0.0) & (done < 0.5)
+            test_t = trans * (1.0 - a)
+            trigger = ok & (test_t < T_EPS)
+            contrib = ok & (~trigger)
+            a_eff = jnp.where(contrib, a, 0.0)
+            w = a_eff * trans
+            w_s[g] = w
+            dcgp = dcg_s[g]
+            pg_dot = pg_dot + w * dcgp
+            inv_om = 1.0 / (1.0 - a_eff)
+            dalpha = jnp.where(
+                contrib, trans * dcgp - (k_const - pg_dot) * inv_om, 0.0
+            )
+            dpw_s[g] = dalpha * dpf_s[g]
+            return (jnp.where(contrib, test_t, trans),
+                    jnp.where(trigger, 1.0, done),
+                    pg_dot)
+
+        def accum_body(g, slot):
+            gid = ids_s[slot, g]
+            acc_ref[gid] = acc_ref[gid] + gmat_s[g]
+            return slot
+
+        def chunk_body(carry):
+            c, state = carry
+            slot = jax.lax.rem(c, 2)
+            for m in start_dma(c, slot):
+                m.wait()
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                for m in start_dma(c + 1, jax.lax.rem(c + 1, 2)):
+                    m.start()
+
+            q = qblk_s[slot]
+            a0, dpf = _alpha_planes(q, basis, count - c * CHUNK)
+            a0_s[...] = a0.reshape(CHUNK, SUB, LANE)
+            dpf_s[...] = dpf.reshape(CHUNK, SUB, LANE)
+            dcg_s[...] = jax.lax.dot_general(
+                q[:, 6:9], cot3, (((1,), (0,)), ((), ())),
+                precision=_HI, preferred_element_type=jnp.float32,
+            ).reshape(CHUNK, SUB, LANE)
+
+            state = jax.lax.fori_loop(
+                0, CHUNK, scan_body, state, unroll=unroll
+            )
+
+            # Moment sums as (CHUNK, 1) columns, then the per-pair linear
+            # map on columns — the same math `_composite_bwd` runs in XLA.
+            def red(plane):
+                return jnp.sum(
+                    plane.reshape(CHUNK, PIX), axis=1, keepdims=True
+                )
+
+            dpw = dpw_s[...]
+            t0 = red(dpw)
+            t1x = red(dpw * pxl[None])
+            t1y = red(dpw * pyl[None])
+            t2xx = red(dpw * pxx[None])
+            t2xy = red(dpw * pxy[None])
+            t2yy = red(dpw * pyy[None])
+            ww = w_s[...]
+            qc = qcblk_s[slot]
+            mxl, myl = qc[:, 0:1], qc[:, 1:2]
+            ca, cb, cc = qc[:, 2:3], qc[:, 3:4], qc[:, 4:5]
+            op = qc[:, 5:6]
+            s0 = t1x - mxl * t0
+            s1 = t1y - myl * t0
+            s2 = t2xx - 2.0 * mxl * t1x + mxl * mxl * t0
+            s3 = t2xy - mxl * t1y - myl * t1x + mxl * myl * t0
+            s4 = t2yy - 2.0 * myl * t1y + myl * myl * t0
+            # Boundary rows (≥ count − c·CHUNK) belong to the next tile:
+            # zero their grad rows so the accumulate is a harmless no-op.
+            live = (
+                jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+                < count - c * CHUNK
+            ).astype(jnp.float32)
+            gmat_s[:, 0:1] = live * (ca * s0 + cb * s1)
+            gmat_s[:, 1:2] = live * (cb * s0 + cc * s1)
+            gmat_s[:, 2:3] = live * (-0.5 * s2)
+            gmat_s[:, 3:4] = live * (-s3)
+            gmat_s[:, 4:5] = live * (-0.5 * s4)
+            gmat_s[:, 5:6] = live * jnp.where(
+                op > 0.0, t0 / jnp.maximum(op, 1e-12), 0.0
+            )
+            gmat_s[:, 6:7] = live * red(ww * gr[None])
+            gmat_s[:, 7:8] = live * red(ww * gg[None])
+            gmat_s[:, 8:9] = live * red(ww * gb[None])
+            jax.lax.fori_loop(
+                0, CHUNK, accum_body, slot, unroll=unroll
+            )
+            return c + 1, state
+
+        def chunk_cond(carry):
+            c, state = carry
+            return (c < nchunks) & (jnp.min(state[1]) < 0.5)
+
+        gmat_s[:, 9:] = jnp.zeros((CHUNK, QROWS - 9), jnp.float32)
+        init = (
+            jnp.ones((SUB, LANE), jnp.float32),
+            jnp.zeros((SUB, LANE), jnp.float32),
+            jnp.zeros((SUB, LANE), jnp.float32),
+        )
+        c_end, _ = jax.lax.while_loop(
+            chunk_cond, chunk_body, (jnp.int32(0), init)
+        )
+
+        # Early exit: later pairs have zero gradient — nothing to stream,
+        # just drain the in-flight DMAs.
+        @pl.when(c_end < nchunks)
+        def _():
+            for m in start_dma(c_end, jax.lax.rem(c_end, 2)):
+                m.wait()
+
+    pl.run_scoped(
+        scoped,
+        qblk_s=pltpu.VMEM((2, CHUNK, QROWS), jnp.float32),
+        qcblk_s=pltpu.VMEM((2, CHUNK, 8), jnp.float32),
+        ids_s=pltpu.SMEM((2, CHUNK), jnp.int32),
+        a0_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
+        dpf_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
+        dcg_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
+        w_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
+        dpw_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
+        gmat_s=pltpu.VMEM((CHUNK, QROWS), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+        qcsems=pltpu.SemaphoreType.DMA((2,)),
+        isems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _backward_call_fused(qt, qc, ids, n_rows, starts, counts, fwd_pack,
+                         cot_pack, tile_size, interpret):
+    num_t = starts.shape[0]
+    kernel = functools.partial(
+        _backward_kernel_fused, tile_size=tile_size,
+        unroll=1 if interpret else CHUNK,
+    )
+    basis = jnp.asarray(_basis_np(tile_size))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (QROWS, 2 * PIX), lambda t, s, c: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, SUB, LANE), lambda t, s, c: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, SUB, LANE), lambda t, s, c: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rows, QROWS), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=["arbitrary"], has_side_effects=True,
+        ),
+    )(starts, counts, qt, qc, ids, basis, fwd_pack, cot_pack)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def composite_tiles_pallas_fused(
+    fields_ext: Array,
+    pair_gauss: Array,
+    pair_tiles: Array,
+    starts: Array,
+    counts: Array,
+    num_tiles_x: int,
+    num_tiles_y: int,
+    tile_size: int = 32,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Pallas compositing whose backward accumulates grads per GAUSSIAN.
+
+    Same forward as `composite_tiles_pallas`, but the differentiable input
+    is the (N + 1, 9) field table (zero row 0) + the pair index arrays, and
+    the VJP returns d(fields_ext) directly from the fused backward kernel —
+    no P-sized XLA scatter-add. Requires the (N + 1, 16) accumulator to fit
+    VMEM; `render_gaussians` gates it behind `fused_bwd_accum`.
+    """
+    out, _ = _composite_fused_fwd(
+        fields_ext, pair_gauss, pair_tiles, starts, counts,
+        num_tiles_x, num_tiles_y, tile_size, interpret,
+    )
+    return out
+
+
+def _composite_fused_fwd(fields_ext, pair_gauss, pair_tiles, starts, counts,
+                         ntx, nty, tile_size, interpret):
+    if tile_size * tile_size != PIX:
+        raise ValueError("pallas backend requires tile_size == 32")
+    pair_rows = fields_ext[pair_gauss + 1]
+    qt = _build_qt(pair_rows, pair_tiles, ntx, tile_size)
+    bx = (pair_tiles % ntx * tile_size).astype(jnp.float32)
+    by = (pair_tiles // ntx * tile_size).astype(jnp.float32)
+    z = jnp.zeros_like(bx)
+    qc = jnp.concatenate(
+        [
+            jnp.stack(
+                [pair_rows[:, 0] - bx, pair_rows[:, 1] - by,
+                 pair_rows[:, 2], pair_rows[:, 3], pair_rows[:, 4],
+                 pair_rows[:, 5], z, z],
+                axis=1,
+            ),
+            jnp.zeros((CHUNK, 8), jnp.float32),
+        ],
+        axis=0,
+    )
+    # Sentinel pairs keep id 0 (trash row, sliced off) — they are never in
+    # any tile's range, but the trailing DMA pad rows are accumulated (with
+    # zeroed gmat rows) and must hit a safe row.
+    ids = jnp.concatenate(
+        [pair_gauss + 1, jnp.zeros((CHUNK,), pair_gauss.dtype)]
+    )
+    packed = _forward_call(qt, starts, counts, tile_size, interpret)
+    rgb = packed[:, :3].reshape(-1, 3, PIX)
+    final_t = packed[:, 3].reshape(-1, PIX)
+    res = (fields_ext, qt, qc, ids, starts, counts, packed)
+    return (rgb, final_t), res
+
+
+def _composite_fused_bwd(ntx, nty, tile_size, interpret, residuals, cot):
+    fields_ext, qt, qc, ids, starts, counts, packed = residuals
+    drgb, dt = cot
+    num_t = starts.shape[0]
+    cot_pack = jnp.concatenate(
+        [
+            drgb.reshape(num_t, 3, SUB, LANE),
+            dt.reshape(num_t, 1, SUB, LANE),
+        ],
+        axis=1,
+    )
+    acc = _backward_call_fused(
+        qt, qc, ids, fields_ext.shape[0], starts, counts, packed, cot_pack,
+        tile_size, interpret,
+    )
+    dfields = acc[:, :9].at[0].set(0.0)  # row 0 collects pad-row no-ops
+    return dfields, None, None, None, None
+
+
+composite_tiles_pallas_fused.defvjp(_composite_fused_fwd, _composite_fused_bwd)

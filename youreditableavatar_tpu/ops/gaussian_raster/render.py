@@ -43,6 +43,10 @@ class RasterizeConfig:
     scale_mod: float = 1.0
     backend: str = "auto"
     pallas_interpret: bool = False  # run pallas kernels in interpreter mode
+    # Accumulate per-gaussian grads inside the backward kernel (VMEM table)
+    # instead of the XLA scatter-add epilogue. Needs (N+1)·16·4 B of VMEM;
+    # measure scripts/exp_vmem_scatter.py on the target before enabling.
+    fused_bwd_accum: bool = False
 
 
 def _resolve_backend(backend: str) -> str:
@@ -187,6 +191,28 @@ def render_gaussians(
         )
         rgb_tiles, t_tiles = composite_tiles_xla(
             pair_data, ntx, nty, ts, cfg.chunk
+        )
+    elif backend == "pallas" and cfg.fused_bwd_accum:
+        from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
+            composite_tiles_pallas_fused,
+        )
+
+        fields = jnp.stack(
+            [
+                proj.mean2d[:, 0], proj.mean2d[:, 1],
+                proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+                proj.opacity,
+                proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+            ],
+            axis=1,
+        )
+        fields_ext = jnp.concatenate(
+            [jnp.zeros((1, 9), fields.dtype), fields], axis=0
+        )
+        rgb_tiles, t_tiles = composite_tiles_pallas_fused(
+            fields_ext, binning.pair_gauss, binning.pair_tile,
+            binning.tile_start, binning.tile_count,
+            ntx, nty, ts, cfg.pallas_interpret,
         )
     elif backend == "pallas":
         from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (

@@ -1,0 +1,271 @@
+"""GroundingDINO-in-JAX: architecture shapes, grounding seam, converter.
+
+Random weights (zero-egress build) — the tests pin shapes, value ranges,
+text conditioning, the SAM integration, grid_sample-faithful deformable
+sampling, and the official-checkpoint key layout via a synthesized torch
+state dict.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from youreditableavatar_tpu.guidance.grounding_dino import (
+    TEST_GDINO,
+    DinoGrounder,
+    HashTokenizer,
+    convert_torch_gdino,
+    gdino_ground,
+    init_gdino_params,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_gdino_params(jax.random.PRNGKey(0), TEST_GDINO)
+
+
+def _tok(text):
+    t, m = HashTokenizer(TEST_GDINO.vocab, TEST_GDINO.max_text_len)(text)
+    return jnp.asarray(t), jnp.asarray(m)
+
+
+class TestForward:
+    def test_shapes_and_ranges(self, params):
+        img = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 1, (64, 64, 3)), jnp.float32
+        )
+        tok, mask = _tok("a red hat")
+        out = gdino_ground(params, img, tok, mask, TEST_GDINO)
+        k = TEST_GDINO.num_queries
+        assert out["boxes"].shape == (k, 4)
+        assert out["scores"].shape == (k,)
+        b = np.asarray(out["boxes"])
+        s = np.asarray(out["scores"])
+        assert np.isfinite(b).all() and (b >= 0).all() and (b <= 1).all()
+        assert (s >= 0).all() and (s <= 1).all()
+
+    def test_text_conditioning_changes_output(self, params):
+        img = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 1, (64, 64, 3)), jnp.float32
+        )
+        o1 = gdino_ground(params, img, *_tok("a red hat"), TEST_GDINO)
+        o2 = gdino_ground(params, img, *_tok("blue trousers"), TEST_GDINO)
+        assert not np.allclose(np.asarray(o1["scores"]),
+                               np.asarray(o2["scores"]))
+
+    def test_non_square_image(self, params):
+        img = jnp.asarray(
+            np.random.default_rng(2).uniform(0, 1, (48, 80, 3)), jnp.float32
+        )
+        out = gdino_ground(params, img, *_tok("a hat"), TEST_GDINO)
+        assert np.isfinite(np.asarray(out["boxes"])).all()
+
+
+class TestDeformableSampling:
+    def test_bilinear_matches_grid_sample(self):
+        """`_bilinear_sample` == torch grid_sample(align_corners=False,
+        padding zeros) including out-of-bounds taps."""
+        import torch
+
+        from youreditableavatar_tpu.guidance.grounding_dino import (
+            _bilinear_sample,
+        )
+
+        rng = np.random.default_rng(3)
+        feat = rng.normal(size=(5, 7, 3)).astype(np.float32)
+        xy = rng.uniform(-0.2, 1.2, (50, 2)).astype(np.float32)
+        ours = np.asarray(_bilinear_sample(jnp.asarray(feat),
+                                           jnp.asarray(xy)))
+        t = torch.nn.functional.grid_sample(
+            torch.from_numpy(feat).permute(2, 0, 1)[None],
+            torch.from_numpy(xy * 2 - 1)[None, None],
+            mode="bilinear", padding_mode="zeros", align_corners=False,
+        )[0, :, 0].T.numpy()
+        np.testing.assert_allclose(ours, t, atol=1e-5)
+
+
+class TestGrounderSeam:
+    def test_ground_returns_valid_box(self, params):
+        g = DinoGrounder(params, TEST_GDINO, image_size=64)
+        img = np.random.default_rng(4).uniform(0, 1, (90, 70, 3)).astype(
+            np.float32)
+        box = g.ground(img, "a red hat")
+        assert box.shape == (4,)
+        assert 0 <= box[0] < box[2] <= 70 and 0 <= box[1] < box[3] <= 90
+
+    def test_threshold_fallback_full_image(self, params):
+        g = DinoGrounder(params, TEST_GDINO, image_size=64,
+                         box_threshold=1.1)  # unreachable → full image
+        img = np.zeros((32, 48, 3), np.float32)
+        box = g.ground(img, "anything")
+        np.testing.assert_allclose(box, [0, 0, 48, 32])
+
+    def test_sam_segmenter_with_dino_grounder(self, params):
+        from youreditableavatar_tpu.guidance.sam import SAMSegmenter
+
+        seg = SAMSegmenter.random_init(
+            jax.random.PRNGKey(1),
+            grounder=DinoGrounder(params, TEST_GDINO, image_size=64),
+        )
+        img = np.random.default_rng(5).uniform(0, 1, (64, 64, 3)).astype(
+            np.float32)
+        mask = seg.segment(img, "the hat")
+        assert mask.shape == (64, 64) and mask.dtype == bool
+        assert mask.any()
+
+
+class TestConverter:
+    def test_structure_roundtrip(self, params):
+        """Synthesized official-layout state dict converts to params that
+        reproduce the random-init model's outputs exactly (guards the key
+        naming of `groundingdino_swint_ogc.pth`)."""
+        cfg = TEST_GDINO
+        sd = {}
+
+        def put_lin(prefix, lp):
+            sd[prefix + ".weight"] = np.asarray(lp["w"]).T.copy()
+            sd[prefix + ".bias"] = np.asarray(lp["b"]).copy()
+
+        def put_ln(prefix, lp):
+            sd[prefix + ".weight"] = np.asarray(lp["g"]).copy()
+            sd[prefix + ".bias"] = np.asarray(lp["b"]).copy()
+
+        def put_mha(prefix, mp):
+            sd[prefix + ".in_proj_weight"] = np.concatenate(
+                [np.asarray(mp[k]["w"]).T for k in ("q", "k", "v")], 0)
+            sd[prefix + ".in_proj_bias"] = np.concatenate(
+                [np.asarray(mp[k]["b"]) for k in ("q", "k", "v")], 0)
+            put_lin(prefix + ".out_proj", mp["o"])
+
+        def put_msda(prefix, mp):
+            put_lin(prefix + ".sampling_offsets", mp["sampling"])
+            put_lin(prefix + ".attention_weights", mp["attn_w"])
+            put_lin(prefix + ".value_proj", mp["value"])
+            put_lin(prefix + ".output_proj", mp["output"])
+
+        def put_box(prefix, bp):
+            put_lin(prefix + ".layers.0", bp["l1"])
+            put_lin(prefix + ".layers.1", bp["l2"])
+            put_lin(prefix + ".layers.2", bp["l3"])
+
+        sw = params["swin"]
+        sd["backbone.0.patch_embed.proj.weight"] = np.asarray(
+            sw["patch_proj"]["w"]).transpose(3, 2, 0, 1)
+        sd["backbone.0.patch_embed.proj.bias"] = np.asarray(
+            sw["patch_proj"]["b"])
+        put_ln("backbone.0.patch_embed.norm", sw["patch_norm"])
+        for si, stage in enumerate(sw["stages"]):
+            for bi, blk in enumerate(stage["blocks"]):
+                bp = f"backbone.0.layers.{si}.blocks.{bi}"
+                put_ln(bp + ".norm1", blk["norm1"])
+                a = blk["attn"]
+                sd[bp + ".attn.qkv.weight"] = np.concatenate(
+                    [np.asarray(a[k]["w"]).T for k in ("q", "k", "v")], 0)
+                sd[bp + ".attn.qkv.bias"] = np.concatenate(
+                    [np.asarray(a[k]["b"]) for k in ("q", "k", "v")], 0)
+                put_lin(bp + ".attn.proj", a["o"])
+                sd[bp + ".attn.relative_position_bias_table"] = np.asarray(
+                    blk["rel_bias"])
+                put_ln(bp + ".norm2", blk["norm2"])
+                put_lin(bp + ".mlp.fc1", blk["mlp"]["fc1"])
+                put_lin(bp + ".mlp.fc2", blk["mlp"]["fc2"])
+            if "merge" in stage:
+                put_ln(f"backbone.0.layers.{si}.downsample.norm",
+                       stage["merge_norm"])
+                sd[f"backbone.0.layers.{si}.downsample.reduction.weight"] = \
+                    np.asarray(stage["merge"]["w"]).T.copy()
+        for i in (1, 2, 3):
+            put_ln(f"backbone.0.norm{i}", sw["out_norms"][i - 1])
+
+        bt = params["bert"]
+        sd["bert.embeddings.word_embeddings.weight"] = np.asarray(
+            bt["tok_emb"])
+        sd["bert.embeddings.position_embeddings.weight"] = np.asarray(
+            bt["pos_emb"])
+        sd["bert.embeddings.token_type_embeddings.weight"] = np.asarray(
+            bt["type_emb"])
+        put_ln("bert.embeddings.LayerNorm", bt["emb_norm"])
+        for li, layer in enumerate(bt["layers"]):
+            lp = f"bert.encoder.layer.{li}"
+            put_lin(lp + ".attention.self.query", layer["attn"]["q"])
+            put_lin(lp + ".attention.self.key", layer["attn"]["k"])
+            put_lin(lp + ".attention.self.value", layer["attn"]["v"])
+            put_lin(lp + ".attention.output.dense", layer["attn"]["o"])
+            put_ln(lp + ".attention.output.LayerNorm", layer["attn_norm"])
+            put_lin(lp + ".intermediate.dense", layer["mlp"]["fc1"])
+            put_lin(lp + ".output.dense", layer["mlp"]["fc2"])
+            put_ln(lp + ".output.LayerNorm", layer["mlp_norm"])
+
+        for i, proj in enumerate(params["in_proj"]):
+            sd[f"input_proj.{i}.0.weight"] = np.asarray(
+                proj["lin"]["w"]).T[:, :, None, None].copy()
+            sd[f"input_proj.{i}.0.bias"] = np.asarray(proj["lin"]["b"])
+            put_ln(f"input_proj.{i}.1", proj["norm"])
+        sd["input_proj.3.0.weight"] = np.asarray(
+            params["extra_proj"]["w"]).transpose(3, 2, 0, 1)
+        sd["input_proj.3.0.bias"] = np.asarray(params["extra_proj"]["b"])
+        put_ln("input_proj.3.1", params["extra_proj"]["norm"])
+        sd["transformer.level_embed"] = np.asarray(params["level_emb"])
+        put_lin("feat_map", params["feat_map"])
+        for li, layer in enumerate(params["enc"]):
+            ep = f"transformer.encoder.layers.{li}"
+            tp = f"transformer.encoder.text_layers.{li}"
+            fp = f"transformer.encoder.fusion_layers.{li}"
+            put_msda(ep + ".self_attn", layer["msda"])
+            put_ln(ep + ".norm1", layer["msda_norm"])
+            put_lin(ep + ".linear1", layer["ffn"]["fc1"])
+            put_lin(ep + ".linear2", layer["ffn"]["fc2"])
+            put_ln(ep + ".norm2", layer["ffn_norm"])
+            put_mha(tp + ".self_attn", layer["txt_attn"])
+            put_ln(tp + ".norm1", layer["txt_norm"])
+            put_lin(tp + ".linear1", layer["txt_ffn"]["fc1"])
+            put_lin(tp + ".linear2", layer["txt_ffn"]["fc2"])
+            put_ln(tp + ".norm2", layer["txt_ffn_norm"])
+            bi = layer["bi"]
+            put_ln(fp + ".layer_norm_v", bi["ln_v"])
+            put_ln(fp + ".layer_norm_l", bi["ln_t"])
+            put_lin(fp + ".attn.v_proj", bi["v_proj"])
+            put_lin(fp + ".attn.l_proj", bi["t_proj"])
+            put_lin(fp + ".attn.values_v_proj", bi["values_v"])
+            put_lin(fp + ".attn.values_l_proj", bi["values_t"])
+            put_lin(fp + ".attn.out_v_proj", bi["out_v"])
+            put_lin(fp + ".attn.out_l_proj", bi["out_t"])
+            sd[fp + ".gamma_v"] = np.asarray(bi["gamma_v"])
+            sd[fp + ".gamma_l"] = np.asarray(bi["gamma_t"])
+        put_lin("transformer.enc_output", params["enc_out"]["lin"])
+        put_ln("transformer.enc_output_norm", params["enc_out"]["norm"])
+        put_box("transformer.enc_out_bbox_embed", params["enc_box"])
+        sd["transformer.tgt_embed.weight"] = np.asarray(params["tgt_emb"])
+        put_lin("transformer.decoder.ref_point_head.layers.0",
+                params["ref_head"]["fc1"])
+        put_lin("transformer.decoder.ref_point_head.layers.1",
+                params["ref_head"]["fc2"])
+        for li, layer in enumerate(params["dec"]):
+            dp = f"transformer.decoder.layers.{li}"
+            put_mha(dp + ".self_attn", layer["self_attn"])
+            put_ln(dp + ".norm2", layer["self_norm"])
+            put_mha(dp + ".ca_text", layer["ca_text"])
+            put_ln(dp + ".catext_norm", layer["ca_text_norm"])
+            put_msda(dp + ".cross_attn", layer["msda"])
+            put_ln(dp + ".norm1", layer["msda_norm"])
+            put_lin(dp + ".linear1", layer["ffn"]["fc1"])
+            put_lin(dp + ".linear2", layer["ffn"]["fc2"])
+            put_ln(dp + ".norm3", layer["ffn_norm"])
+        put_ln("transformer.decoder.norm", params["dec_norm"])
+        put_box("bbox_embed.0", params["bbox_head"])
+
+        conv = convert_torch_gdino(sd, cfg)
+        img = jnp.asarray(
+            np.random.default_rng(6).uniform(0, 1, (64, 64, 3)), jnp.float32
+        )
+        tok, mask = _tok("a red hat")
+        a = gdino_ground(params, img, tok, mask, cfg)
+        b = gdino_ground(conv, img, tok, mask, cfg)
+        np.testing.assert_allclose(
+            np.asarray(a["boxes"]), np.asarray(b["boxes"]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["scores"]), np.asarray(b["scores"]), atol=1e-6
+        )

@@ -180,15 +180,20 @@ def make_segmenter_backend(
     name: str = "heuristic",
     weights_path: Optional[str] = None,
     seed: int = 0,
+    dino_weights: Optional[str] = None,
 ):
     """Build a `Segmenter` for region localization (LangSAM's role).
 
     name:
-      "heuristic"  — foreground-band heuristic (weight-free).
-      "sam"        — JAX SAM; `weights_path` = official sam_vit_h.pth
-                     (vit_b config auto-selected for 'vit_b' in the name).
-      "sam-random" — tiny random-weight SAM (full architecture; the mask
-                     falls back to the grounded box).
+      "heuristic"   — foreground-band heuristic (weight-free).
+      "sam"         — JAX SAM; `weights_path` = official sam_vit_h.pth
+                      (vit_b config auto-selected for 'vit_b' in the name);
+                      with `dino_weights` (groundingdino_swint_ogc.pth) the
+                      box comes from the JAX GroundingDINO = full LangSAM.
+      "sam-random"  — tiny random-weight SAM (full architecture; the mask
+                      falls back to the grounded box).
+      "langsam-random" — random-weight SAM + GroundingDINO chained: the
+                      complete LangSAM architecture path, weight-free.
     """
     if name == "heuristic":
         from youreditableavatar_tpu.stages.localization import (
@@ -201,6 +206,17 @@ def make_segmenter_backend(
         from youreditableavatar_tpu.guidance.sam import SAMSegmenter
 
         return SAMSegmenter.random_init(jax.random.PRNGKey(seed))
+
+    if name == "langsam-random":
+        from youreditableavatar_tpu.guidance.grounding_dino import (
+            DinoGrounder,
+        )
+        from youreditableavatar_tpu.guidance.sam import SAMSegmenter
+
+        return SAMSegmenter.random_init(
+            jax.random.PRNGKey(seed),
+            grounder=DinoGrounder.random_init(jax.random.PRNGKey(seed + 1)),
+        )
 
     if name == "sam":
         from youreditableavatar_tpu.guidance.sam import (
@@ -216,6 +232,24 @@ def make_segmenter_backend(
             )
         cfg = SAM_VIT_B if "vit_b" in os.path.basename(weights_path) \
             else SAM_VIT_H
-        return SAMSegmenter.from_torch_file(weights_path, cfg)
+        grounder = None
+        if dino_weights:
+            import torch
+
+            from youreditableavatar_tpu.guidance.grounding_dino import (
+                SWIN_T_GDINO,
+                DinoGrounder,
+                convert_torch_gdino,
+            )
+
+            sd = torch.load(dino_weights, map_location="cpu",
+                            weights_only=False)
+            sd = sd.get("model", sd)
+            grounder = DinoGrounder(
+                convert_torch_gdino(sd, SWIN_T_GDINO), SWIN_T_GDINO,
+                box_threshold=0.35, image_size=800,
+            )
+        return SAMSegmenter.from_torch_file(weights_path, cfg,
+                                            grounder=grounder)
 
     raise ValueError(f"unknown segmenter backend {name!r}")

@@ -16,9 +16,13 @@ def main(argv=None):
     p.add_argument("--downscale", type=float, default=1.0)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--segmenter", default="heuristic",
-                   choices=["heuristic", "sam", "sam-random"])
+                   choices=["heuristic", "sam", "sam-random",
+                            "langsam-random"])
     p.add_argument("--sam-weights", default=None,
                    help="official sam_vit_*.pth checkpoint")
+    p.add_argument("--dino-weights", default=None,
+                   help="official groundingdino_swint_ogc.pth (with "
+                        "--segmenter sam: text-grounded boxes)")
     args = p.parse_args(argv)
 
     from youreditableavatar_tpu.utils.misc import apply_platform_env
@@ -39,7 +43,9 @@ def main(argv=None):
     arts = run_init_texture_stage(
         args.out, args.init_mesh, cams, scale,
         seg_prompt=args.seg_prompt, fit_iters=args.iters,
-        segmenter=make_segmenter_backend(args.segmenter, args.sam_weights),
+        segmenter=make_segmenter_backend(
+            args.segmenter, args.sam_weights,
+            dino_weights=args.dino_weights),
     )
     print(arts)
 

@@ -134,19 +134,27 @@ def read_cameras_text(path: str) -> Dict[int, ColmapCamera]:
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
     images: Dict[int, ColmapImage] = {}
     with open(path) as fd:
-        lines = [
-            ln.strip() for ln in fd
-            if ln.strip() and not ln.startswith("#")
-        ]
-    for meta in lines[0::2]:  # every other line is the 2D point list
-        parts = meta.split()
-        images[int(parts[0])] = ColmapImage(
-            int(parts[0]),
-            np.array([float(p) for p in parts[1:5]]),
-            np.array([float(p) for p in parts[5:8]]),
-            int(parts[8]),
-            parts[9],
-        )
+        # Keep EMPTY lines: each image is a meta line followed by its 2D
+        # point list, and that second line is legitimately empty for images
+        # with zero observations — filtering blanks would desynchronize the
+        # meta/points pairing and silently drop every other image.
+        lines = [ln.strip() for ln in fd if not ln.startswith("#")]
+    is_meta = True
+    for ln in lines:
+        if is_meta and not ln:
+            continue  # stray blank between records
+        if is_meta:
+            parts = ln.split()
+            images[int(parts[0])] = ColmapImage(
+                int(parts[0]),
+                np.array([float(p) for p in parts[1:5]]),
+                np.array([float(p) for p in parts[5:8]]),
+                int(parts[8]),
+                parts[9],
+            )
+            is_meta = False
+        else:
+            is_meta = True  # the (possibly empty) 2D point list line
     return images
 
 

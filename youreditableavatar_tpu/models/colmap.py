@@ -49,7 +49,13 @@ class ColmapImage:
 
 
 def qvec_to_rotmat(qvec: np.ndarray) -> np.ndarray:
-    w, x, y, z = qvec
+    # Normalize defensively: COLMAP writes unit quaternions, but a
+    # hand-built or truncated-precision model would otherwise yield a
+    # non-orthonormal rotation that silently skews every pose.
+    n = float(np.linalg.norm(qvec))
+    if not np.isfinite(n) or n < 1e-8:
+        raise ValueError(f"degenerate quaternion in COLMAP model: {qvec}")
+    w, x, y, z = np.asarray(qvec) / n
     return np.array(
         [
             [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],

@@ -99,6 +99,19 @@ def _basis_np(tile_size: int) -> np.ndarray:
     return b
 
 
+def _tile_local(pair_rows: Array, pair_tiles: Array, ntx: int,
+                tile_size: int) -> Tuple[Array, Array]:
+    """Per-pair tile-local mean coordinates (mean − tile pixel base).
+
+    The single definition of the tile-base convention — `_build_qt`, the
+    backward's moment localization, and the fused path's map columns all
+    derive from here.
+    """
+    bx = (pair_tiles % ntx * tile_size).astype(jnp.float32)
+    by = (pair_tiles // ntx * tile_size).astype(jnp.float32)
+    return pair_rows[:, 0] - bx, pair_rows[:, 1] - by
+
+
 def _build_qt(pair_rows: Array, pair_tiles: Array, ntx: int,
               tile_size: int) -> Array:
     """(P + CHUNK, QROWS) per-pair chunk-matmul coefficients (XLA glue).
@@ -110,14 +123,10 @@ def _build_qt(pair_rows: Array, pair_tiles: Array, ntx: int,
     coordinates would lose ~3 digits). The CHUNK zero tail rows keep the last
     tile's final chunk DMA in bounds (zero coefficients → alpha 0, inert).
     """
-    mx, my = pair_rows[:, 0], pair_rows[:, 1]
     ca, cb, cc = pair_rows[:, 2], pair_rows[:, 3], pair_rows[:, 4]
     op = pair_rows[:, 5]
-    bx = (pair_tiles % ntx * tile_size).astype(jnp.float32)
-    by = (pair_tiles // ntx * tile_size).astype(jnp.float32)
-    mxl = mx - bx
-    myl = my - by
-    z = jnp.zeros_like(mx)
+    mxl, myl = _tile_local(pair_rows, pair_tiles, ntx, tile_size)
+    z = jnp.zeros_like(op)
     qt = jnp.stack(
         [
             -0.5 * ca,  # · px²
@@ -159,6 +168,57 @@ def _alpha_planes(qblk, basis, rem):
     a0 = jnp.where(live & (araw <= opp) & (a0 >= ALPHA_MIN), a0, 0.0)
     dpf = jnp.where(live & (araw < ALPHA_CLAMP), araw, 0.0)
     return a0, dpf
+
+
+def _bwd_preamble(fwd_ref, cot_ref, tile_size):
+    """Shared backward setup: tile-local pixel/moment planes, cotangent
+    planes, and the per-tile constant K = C·g + gT·T_final of
+    dL/dα = T·(c·g) − (S·g + gT·T_final)/(1−α), S = C − P_incl — the scan
+    tracks only the RUNNING scalar P·g = Σ w·(c·g)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+    c_ = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
+    p = r * LANE + c_
+    pxl = (p % tile_size).astype(jnp.float32)
+    pyl = (p // tile_size).astype(jnp.float32)
+    gr = cot_ref[0, 0]
+    gg = cot_ref[0, 1]
+    gb = cot_ref[0, 2]
+    k_const = (
+        fwd_ref[0, 0] * gr + fwd_ref[0, 1] * gg + fwd_ref[0, 2] * gb
+        + cot_ref[0, 3] * fwd_ref[0, 3]
+    )
+    cot3 = jnp.stack([gr, gg, gb]).reshape(3, PIX)
+    return (pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl,
+            gr, gg, gb, k_const, cot3)
+
+
+def _make_bwd_scan(a0_s, dpf_s, dcg_s, w_s, dpw_s, k_const):
+    """The sequential per-pair recurrence shared by both backward kernels:
+    the transmittance scan, storing the w and dpower pixel planes."""
+
+    def scan_body(g, carry):
+        trans, done, pg_dot = carry
+        a = a0_s[g]
+        ok = (a > 0.0) & (done < 0.5)
+        test_t = trans * (1.0 - a)
+        trigger = ok & (test_t < T_EPS)
+        contrib = ok & (~trigger)
+        a_eff = jnp.where(contrib, a, 0.0)
+        w = a_eff * trans
+        w_s[g] = w
+        dcgp = dcg_s[g]
+        pg_dot = pg_dot + w * dcgp  # running P·g (inclusive)
+        inv_om = 1.0 / (1.0 - a_eff)  # α ≤ 0.99 ⇒ safe
+        dalpha = jnp.where(
+            contrib, trans * dcgp - (k_const - pg_dot) * inv_om, 0.0
+        )
+        # dpower = dα·op·gauss = dα·α_raw, zeroed past the 0.99 clamp.
+        dpw_s[g] = dalpha * dpf_s[g]
+        return (jnp.where(contrib, test_t, trans),
+                jnp.where(trigger, 1.0, done),
+                pg_dot)
+
+    return scan_body
 
 
 def _forward_kernel(
@@ -298,29 +358,8 @@ def _backward_kernel(
     count = counts_ref[tile_id]
     nchunks = pl.cdiv(count, CHUNK)
     basis = basis_ref[...]
-    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
-    c_ = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
-    p = r * LANE + c_
-    pxl = (p % tile_size).astype(jnp.float32)
-    pyl = (p // tile_size).astype(jnp.float32)
-    # Fixed moment planes (constant per tile, multiplied once per chunk).
-    pxx = pxl * pxl
-    pxy = pxl * pyl
-    pyy = pyl * pyl
-
-    gr = cot_ref[0, 0]
-    gg = cot_ref[0, 1]
-    gb = cot_ref[0, 2]
-    gt = cot_ref[0, 3]
-    t_final = fwd_ref[0, 3]
-    # dL/dα = T·(c·g) − (S·g)/(1−α) − gT·T_final/(1−α), S = C − P_incl.
-    # K = C·g + gT·T_final is constant per tile; the scan tracks only the
-    # RUNNING scalar P·g = Σ w·(c·g).
-    k_const = (
-        fwd_ref[0, 0] * gr + fwd_ref[0, 1] * gg + fwd_ref[0, 2] * gb
-        + gt * t_final
-    )
-    cot3 = jnp.stack([gr, gg, gb]).reshape(3, PIX)
+    (pxl, pyl, pxx, pxy, pyy, gr, gg, gb, k_const,
+     cot3) = _bwd_preamble(fwd_ref, cot_ref, tile_size)
 
     def scoped(qblk_s, a0_s, dpf_s, dcg_s, w_s, dpw_s, out_s, sems, gsem):
         def start_dma(c, slot):
@@ -334,27 +373,7 @@ def _backward_kernel(
         def _():
             start_dma(0, 0).start()
 
-        def scan_body(g, carry):
-            trans, done, pg_dot = carry
-            a = a0_s[g]
-            ok = (a > 0.0) & (done < 0.5)
-            test_t = trans * (1.0 - a)
-            trigger = ok & (test_t < T_EPS)
-            contrib = ok & (~trigger)
-            a_eff = jnp.where(contrib, a, 0.0)
-            w = a_eff * trans
-            w_s[g] = w
-            dcgp = dcg_s[g]
-            pg_dot = pg_dot + w * dcgp  # running P·g (inclusive)
-            inv_om = 1.0 / (1.0 - a_eff)  # α ≤ 0.99 ⇒ safe
-            dalpha = jnp.where(
-                contrib, trans * dcgp - (k_const - pg_dot) * inv_om, 0.0
-            )
-            # dpower = dα·op·gauss = dα·α_raw, zeroed past the 0.99 clamp.
-            dpw_s[g] = dalpha * dpf_s[g]
-            return (jnp.where(contrib, test_t, trans),
-                    jnp.where(trigger, 1.0, done),
-                    pg_dot)
+        scan_body = _make_bwd_scan(a0_s, dpf_s, dcg_s, w_s, dpw_s, k_const)
 
         def reduce_chunk(slot):
             """Joint pixel-moment sums of the two planes for all 128 pairs."""
@@ -624,10 +643,7 @@ def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
     # were never written by any tile — mask them to zero.
     t0, t1x, t1y = moments[:, 0], moments[:, 1], moments[:, 2]
     t2xx, t2xy, t2yy = moments[:, 3], moments[:, 4], moments[:, 5]
-    bx = (pair_tiles % ntx * tile_size).astype(jnp.float32)
-    by = (pair_tiles // ntx * tile_size).astype(jnp.float32)
-    mxl = pair_rows[:, 0] - bx  # mean_x − tile base_x
-    myl = pair_rows[:, 1] - by
+    mxl, myl = _tile_local(pair_rows, pair_tiles, ntx, tile_size)
     ca, cb, cc = pair_rows[:, 2], pair_rows[:, 3], pair_rows[:, 4]
     op = pair_rows[:, 5]
     s0 = t1x - mxl * t0
@@ -696,25 +712,8 @@ def _backward_kernel_fused(
     count = counts_ref[tile_id]
     nchunks = pl.cdiv(count, CHUNK)
     basis = basis_ref[...]
-    r = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
-    c_ = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
-    p = r * LANE + c_
-    pxl = (p % tile_size).astype(jnp.float32)
-    pyl = (p // tile_size).astype(jnp.float32)
-    pxx = pxl * pxl
-    pxy = pxl * pyl
-    pyy = pyl * pyl
-
-    gr = cot_ref[0, 0]
-    gg = cot_ref[0, 1]
-    gb = cot_ref[0, 2]
-    gt = cot_ref[0, 3]
-    t_final = fwd_ref[0, 3]
-    k_const = (
-        fwd_ref[0, 0] * gr + fwd_ref[0, 1] * gg + fwd_ref[0, 2] * gb
-        + gt * t_final
-    )
-    cot3 = jnp.stack([gr, gg, gb]).reshape(3, PIX)
+    (pxl, pyl, pxx, pxy, pyy, gr, gg, gb, k_const,
+     cot3) = _bwd_preamble(fwd_ref, cot_ref, tile_size)
 
     @pl.when(tile_id == 0)
     def _():
@@ -744,26 +743,7 @@ def _backward_kernel_fused(
             for m in start_dma(0, 0):
                 m.start()
 
-        def scan_body(g, carry):
-            trans, done, pg_dot = carry
-            a = a0_s[g]
-            ok = (a > 0.0) & (done < 0.5)
-            test_t = trans * (1.0 - a)
-            trigger = ok & (test_t < T_EPS)
-            contrib = ok & (~trigger)
-            a_eff = jnp.where(contrib, a, 0.0)
-            w = a_eff * trans
-            w_s[g] = w
-            dcgp = dcg_s[g]
-            pg_dot = pg_dot + w * dcgp
-            inv_om = 1.0 / (1.0 - a_eff)
-            dalpha = jnp.where(
-                contrib, trans * dcgp - (k_const - pg_dot) * inv_om, 0.0
-            )
-            dpw_s[g] = dalpha * dpf_s[g]
-            return (jnp.where(contrib, test_t, trans),
-                    jnp.where(trigger, 1.0, done),
-                    pg_dot)
+        scan_body = _make_bwd_scan(a0_s, dpf_s, dcg_s, w_s, dpw_s, k_const)
 
         def accum_body(g, slot):
             gid = ids_s[slot, g]
@@ -950,15 +930,24 @@ def _composite_fused_fwd(fields_ext, pair_gauss, pair_tiles, starts, counts,
                          ntx, nty, tile_size, interpret):
     if tile_size * tile_size != PIX:
         raise ValueError("pallas backend requires tile_size == 32")
+    n_rows = fields_ext.shape[0]
+    # Real VMEM footprint of the (N+1, 16) accumulator: Mosaic lane-pads the
+    # minor dim to 128, i.e. (N+1)·128·4 B — 8× the naive size. Guard before
+    # a confusing Mosaic allocation failure.
+    if n_rows * 128 * 4 > 12 * 2 ** 20:
+        raise ValueError(
+            f"fused_bwd_accum accumulator needs {n_rows * 128 * 4 / 2**20:.0f}"
+            " MiB of VMEM (lane-padded); disable fused_bwd_accum for "
+            f"{n_rows - 1} gaussians"
+        )
     pair_rows = fields_ext[pair_gauss + 1]
     qt = _build_qt(pair_rows, pair_tiles, ntx, tile_size)
-    bx = (pair_tiles % ntx * tile_size).astype(jnp.float32)
-    by = (pair_tiles // ntx * tile_size).astype(jnp.float32)
-    z = jnp.zeros_like(bx)
+    mxl, myl = _tile_local(pair_rows, pair_tiles, ntx, tile_size)
+    z = jnp.zeros_like(mxl)
     qc = jnp.concatenate(
         [
             jnp.stack(
-                [pair_rows[:, 0] - bx, pair_rows[:, 1] - by,
+                [mxl, myl,
                  pair_rows[:, 2], pair_rows[:, 3], pair_rows[:, 4],
                  pair_rows[:, 5], z, z],
                 axis=1,
@@ -967,9 +956,11 @@ def _composite_fused_fwd(fields_ext, pair_gauss, pair_tiles, starts, counts,
         ],
         axis=0,
     )
-    # Sentinel pairs keep id 0 (trash row, sliced off) — they are never in
-    # any tile's range, but the trailing DMA pad rows are accumulated (with
-    # zeroed gmat rows) and must hit a safe row.
+    # NOTE: sentinel (culled/overflow) pairs carry REAL gaussian ids here —
+    # correctness rests on the kernel's live mask zeroing every gmat row
+    # beyond a tile's count (sentinel pairs are in no tile's range), NOT on
+    # id routing. Only the trailing CHUNK DMA-pad rows get id 0 (row 0 is a
+    # trash row the epilogue re-zeroes).
     ids = jnp.concatenate(
         [pair_gauss + 1, jnp.zeros((CHUNK,), pair_gauss.dtype)]
     )

@@ -44,8 +44,11 @@ class RasterizeConfig:
     backend: str = "auto"
     pallas_interpret: bool = False  # run pallas kernels in interpreter mode
     # Accumulate per-gaussian grads inside the backward kernel (VMEM table)
-    # instead of the XLA scatter-add epilogue. Needs (N+1)·16·4 B of VMEM;
-    # measure scripts/exp_vmem_scatter.py on the target before enabling.
+    # instead of the XLA scatter-add epilogue. The (N+1, 16) accumulator is
+    # lane-padded by Mosaic to (N+1, 128) tiles — (N+1)·128·4 B of VMEM, 8×
+    # the naive size — so this only fits ~10-20k gaussians on a 16 MB-VMEM
+    # part; measure scripts/exp_vmem_scatter.py on the target before
+    # enabling. Off by default.
     fused_bwd_accum: bool = False
 
 
@@ -53,6 +56,24 @@ def _resolve_backend(backend: str) -> str:
     if backend != "auto":
         return backend
     return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def build_fields_ext(proj):
+    """(N+1, 9) per-gaussian field rows [mean_x, mean_y, conic_a/b/c,
+    opacity, r, g, b] with a zero row 0 — THE column layout the pallas
+    kernels index; both backend branches must share it."""
+    fields = jnp.stack(
+        [
+            proj.mean2d[:, 0], proj.mean2d[:, 1],
+            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+            proj.opacity,
+            proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+        ],
+        axis=1,
+    )
+    return jnp.concatenate(
+        [jnp.zeros((1, 9), fields.dtype), fields], axis=0
+    )
 
 
 def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
@@ -71,20 +92,8 @@ def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
 
     Returns (pair_rows (P, 9), pair_tiles (P,), starts (T,)).
     """
-    fields = jnp.stack(
-        [
-            proj.mean2d[:, 0], proj.mean2d[:, 1],
-            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-            proj.opacity,
-            proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
-        ],
-        axis=1,
-    )
-    fields_ext = jnp.concatenate(
-        [jnp.zeros((1, 9), fields.dtype), fields], axis=0
-    )
     return (
-        fields_ext[binning.pair_gauss + 1],
+        build_fields_ext(proj)[binning.pair_gauss + 1],
         binning.pair_tile,
         binning.tile_start,
     )
@@ -197,20 +206,8 @@ def render_gaussians(
             composite_tiles_pallas_fused,
         )
 
-        fields = jnp.stack(
-            [
-                proj.mean2d[:, 0], proj.mean2d[:, 1],
-                proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-                proj.opacity,
-                proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
-            ],
-            axis=1,
-        )
-        fields_ext = jnp.concatenate(
-            [jnp.zeros((1, 9), fields.dtype), fields], axis=0
-        )
         rgb_tiles, t_tiles = composite_tiles_pallas_fused(
-            fields_ext, binning.pair_gauss, binning.pair_tile,
+            build_fields_ext(proj), binning.pair_gauss, binning.pair_tile,
             binning.tile_start, binning.tile_count,
             ntx, nty, ts, cfg.pallas_interpret,
         )

@@ -269,3 +269,48 @@ class TestConverter:
         np.testing.assert_allclose(
             np.asarray(a["scores"]), np.asarray(b["scores"]), atol=1e-6
         )
+
+
+class TestCheckpointFidelity:
+    def test_patch_merge_channel_order(self):
+        """Swin patch merging must concatenate [x0, x1, x2, x3] with x1 the
+        BOTTOM-left of each 2x2 block (torch Swin channel order — converted
+        downsample weights index it)."""
+        import torch
+
+        from youreditableavatar_tpu.guidance.grounding_dino import (
+            init_swin_params,
+            swin_backbone,
+        )
+
+        # 2x2 single-channel blocks with distinct values; identity-ish net.
+        x = np.arange(16, dtype=np.float32).reshape(4, 4)
+        blk = np.stack([x[0::2, 0::2], x[1::2, 0::2],
+                        x[0::2, 1::2], x[1::2, 1::2]], -1)  # torch order
+        t = torch.from_numpy(x)[None, :, :, None]
+        ours = np.concatenate(
+            [np.asarray(a) for a in (
+                x[0::2, 0::2][..., None], x[1::2, 0::2][..., None],
+                x[0::2, 1::2][..., None], x[1::2, 1::2][..., None])],
+            -1,
+        )
+        np.testing.assert_array_equal(ours, blk)
+
+    def test_sine_embed_boxes_layout(self):
+        """gen_sineembed_for_position layout: (y, x, w, h) halves with
+        interleaved sin/cos, temperature 10000, scale 2*pi."""
+        from youreditableavatar_tpu.guidance.grounding_dino import (
+            _sine_embed_boxes,
+        )
+
+        d = 8  # half = 4 per coordinate
+        b = jnp.asarray([[0.25, 0.5, 0.1, 0.2]])
+        e = np.asarray(_sine_embed_boxes(b, d))[0]
+        assert e.shape == (2 * d,)
+        half = d // 2
+        # First half-block is the Y coordinate (0.5), interleaved sin/cos.
+        dim_t = 1e4 ** (2.0 * (np.arange(half) // 2) / half)
+        ang = 0.5 * 2 * np.pi / dim_t
+        expect_y = np.where(np.arange(half) % 2 == 0, np.sin(ang),
+                            np.cos(ang))
+        np.testing.assert_allclose(e[:half], expect_y, atol=1e-6)

@@ -294,9 +294,13 @@ def swin_backbone(p: Params, image: Array, cfg: GDINOConfig) -> List[Array]:
             outs.append(_apply_ln(x, p["out_norms"][si - 1]))
         if "merge" in stage:
             x = _pad_to(x, 2)
-            h, w, c = x.shape
-            x = x.reshape(h // 2, 2, w // 2, 2, c).transpose(0, 2, 1, 3, 4)
-            x = x.reshape(h // 2, w // 2, 4 * c)
+            # Torch Swin concatenates [x0, x1, x2, x3] with x1 = the
+            # BOTTOM-left of the 2×2 block (column-major over the block) —
+            # the converted downsample weights index channels in that order.
+            x = jnp.concatenate(
+                [x[0::2, 0::2], x[1::2, 0::2], x[0::2, 1::2], x[1::2, 1::2]],
+                axis=-1,
+            )
             x = _apply_ln(x, stage["merge_norm"]) @ stage["merge"]["w"]
     return outs
 
@@ -387,6 +391,37 @@ def _msda_init(key, d, heads, levels, points) -> Params:
     }
 
 
+def _bilinear_sample_heads(feat: Array, xy: Array) -> Array:
+    """Per-head grid_sample on one level, one gather per corner.
+
+    feat: (H, W, h, dh); xy: (Q, h, P, 2) in [0, 1] level coords →
+    (Q, h, P, dh). Matches torch grid_sample(align_corners=False, zeros).
+    """
+    hgt, wid, nh, dh = feat.shape
+    x = xy[..., 0] * wid - 0.5
+    y = xy[..., 1] * hgt - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    hidx = jnp.arange(nh)[None, :, None]  # head of each sample
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < wid) & (yi >= 0) & (yi < hgt)
+        v = feat[jnp.clip(yi, 0, hgt - 1).astype(jnp.int32),
+                 jnp.clip(xi, 0, wid - 1).astype(jnp.int32),
+                 hidx]
+        return jnp.where(inb[..., None], v, 0.0)
+
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+    return (
+        tap(x0i, y0i) * ((1 - wx) * (1 - wy))[..., None]
+        + tap(x0i + 1, y0i) * (wx * (1 - wy))[..., None]
+        + tap(x0i, y0i + 1) * ((1 - wx) * wy)[..., None]
+        + tap(x0i + 1, y0i + 1) * (wx * wy)[..., None]
+    )
+
+
 def ms_deform_attn(
     query: Array,  # (Q, D)
     ref_xy: Array,  # (Q, 2) normalized reference points
@@ -395,7 +430,10 @@ def ms_deform_attn(
     p: Params,
     h: int,
     pt: int,
+    ref_wh: Array = None,  # (Q, 2): present for 4-dim (box) references
 ) -> Array:
+    """Official MSDeformAttn sampling rules: 2-dim references offset by
+    off / (W_l, H_l); 4-dim (box) references by off / n_points · wh / 2."""
     lv = len(shapes)
     q, d = query.shape
     dh = d // h
@@ -410,15 +448,16 @@ def ms_deform_attn(
         n = hl * wl
         lvl = val[start:start + n].reshape(hl, wl, h, dh)
         start += n
-        wh = jnp.asarray([wl, hl], jnp.float32)
-        # Offsets are in "points" units, normalized per level (official
-        # convention: ref + off / (W, H)).
-        xy = ref_xy[:, None, None, :] + off[:, :, li] / wh  # (Q, h, pt, 2)
-        for hi in range(h):
-            s = _bilinear_sample(lvl[:, :, hi], xy[:, hi])  # (Q, pt, dh)
-            out = out.at[:, hi].add(
-                jnp.sum(s * aw[:, hi, li, :, None], axis=1)
+        if ref_wh is None:
+            wh = jnp.asarray([wl, hl], jnp.float32)
+            xy = ref_xy[:, None, None, :] + off[:, :, li] / wh
+        else:
+            xy = (
+                ref_xy[:, None, None, :]
+                + off[:, :, li] / pt * ref_wh[:, None, None, :] * 0.5
             )
+        s = _bilinear_sample_heads(lvl, xy)  # (Q, h, pt, dh)
+        out = out + jnp.sum(s * aw[:, :, li, :, None], axis=2)
     return _apply_linear(out.reshape(q, d), p["output"])
 
 
@@ -515,14 +554,43 @@ def _box_mlp(x, p):
     return _apply_linear(x, p["l3"])
 
 
-def _sine_embed(xy: Array, d: int) -> Array:
-    """(Q, 2) → (Q, d) sine position embedding (DETR convention)."""
+def _sine_interleaved(v: Array, half: int, temp: float) -> Array:
+    """Deformable-DETR sine embedding of one coordinate: (…,) → (…, half)
+    with INTERLEAVED sin/cos pairs (sin(v/t₀), cos(v/t₀), sin(v/t₁), …) —
+    the layout converted checkpoint weights index."""
+    dim_t = temp ** (2.0 * (jnp.arange(half) // 2) / half)
+    ang = v[..., None] * (2.0 * np.pi) / dim_t
+    return jnp.where(jnp.arange(half) % 2 == 0, jnp.sin(ang), jnp.cos(ang))
+
+
+def _sine_embed_boxes(boxes: Array, d: int) -> Array:
+    """(Q, 4) cxcywh → (Q, 2d) query position embedding — official
+    `gen_sineembed_for_position`: 128-dim interleaved sin/cos per coordinate
+    in (y, x, w, h) order, temperature 10000."""
     half = d // 2
-    dim_t = 2 * np.pi * xy[..., None] * (
-        10000.0 ** (-jnp.arange(half // 2) * 2.0 / half)
+    return jnp.concatenate(
+        [
+            _sine_interleaved(boxes[:, 1], half, 1e4),  # y
+            _sine_interleaved(boxes[:, 0], half, 1e4),  # x
+            _sine_interleaved(boxes[:, 2], half, 1e4),  # w
+            _sine_interleaved(boxes[:, 3], half, 1e4),  # h
+        ],
+        axis=-1,
     )
-    emb = jnp.concatenate([jnp.sin(dim_t), jnp.cos(dim_t)], axis=-1)
-    return emb.reshape(*xy.shape[:-1], -1)
+
+
+def _sine_embed_2d(ref_xy: Array, d: int) -> Array:
+    """(S, 2) normalized cell centers → (S, d) encoder spatial position —
+    official PositionEmbeddingSineHW (temperature 20, normalized): channel
+    layout [y-half | x-half], interleaved sin/cos within each half."""
+    half = d // 2
+    return jnp.concatenate(
+        [
+            _sine_interleaved(ref_xy[:, 1], half, 20.0),  # y first
+            _sine_interleaved(ref_xy[:, 0], half, 20.0),
+        ],
+        axis=-1,
+    )
 
 
 def init_gdino_params(key, cfg: GDINOConfig = TEST_GDINO) -> Params:
@@ -575,20 +643,20 @@ def gdino_ground(
     for f, proj in zip(feats, params["in_proj"]):
         levels.append(_apply_ln(_apply_linear(f, proj["lin"]),
                                 proj["norm"]))
+    # Torch pads 1 on BOTH sides for the k=3 s=2 extra level (XLA "SAME"
+    # pads bottom/right only for even sizes → one-pixel grid shift).
     ex = jax.lax.conv_general_dilated(
-        feats[-1][None], params["extra_proj"]["w"], (2, 2), "SAME",
+        feats[-1][None], params["extra_proj"]["w"], (2, 2),
+        ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )[0] + params["extra_proj"]["b"]
     levels.append(_apply_ln(ex, params["extra_proj"]["norm"]))
     levels = levels[: cfg.levels]
 
     shapes = tuple((f.shape[0], f.shape[1]) for f in levels)
-    src = jnp.concatenate(
-        [f.reshape(-1, cfg.dim) + params["level_emb"][i]
-         for i, f in enumerate(levels)],
-        axis=0,
-    )
-    # Per-token reference points (center of each cell, its own level).
+    src = jnp.concatenate([f.reshape(-1, cfg.dim) for f in levels], axis=0)
+    # Per-token reference points (center of each cell, its own level) and
+    # level index.
     refs = jnp.concatenate([
         jnp.stack(
             jnp.meshgrid(
@@ -599,6 +667,13 @@ def gdino_ground(
         ).reshape(-1, 2)
         for (h, w) in shapes
     ])
+    lvl_idx = jnp.concatenate([
+        jnp.full((h * w,), i, jnp.int32) for i, (h, w) in enumerate(shapes)
+    ])
+    # Positional stream = sine spatial + level embedding, added ONLY to the
+    # deformable-attention query (official with_pos_embed) — never to the
+    # residual/value/fusion streams.
+    pos_src = _sine_embed_2d(refs, cfg.dim) + params["level_emb"][lvl_idx]
 
     txt = bert_encode(params["bert"], tokens, token_mask,
                       cfg.text_heads)
@@ -612,13 +687,15 @@ def gdino_ground(
             txt + _mha(txt, txt, txt, layer["txt_attn"], cfg.heads,
                        mask=add),
             layer["txt_norm"])
-        txt = _apply_ln(txt + _mlp(txt, layer["txt_ffn"]),
+        txt = _apply_ln(txt + _mlp(txt, layer["txt_ffn"], jax.nn.relu),
                         layer["txt_ffn_norm"])
         src = _apply_ln(
-            src + ms_deform_attn(src, refs, src, shapes, layer["msda"],
-                                 cfg.heads, cfg.points),
+            src + ms_deform_attn(src + pos_src, refs, src, shapes,
+                                 layer["msda"], cfg.heads, cfg.points),
             layer["msda_norm"])
-        src = _apply_ln(src + _mlp(src, layer["ffn"]), layer["ffn_norm"])
+        # Deformable-DETR transformer FFNs are relu (BERT/Swin stay gelu).
+        src = _apply_ln(src + _mlp(src, layer["ffn"], jax.nn.relu),
+                        layer["ffn_norm"])
 
     # Language-guided query selection: top-K tokens by max text logit.
     enc_mem = _apply_ln(_apply_linear(src, params["enc_out"]["lin"]),
@@ -628,16 +705,23 @@ def gdino_ground(
     score = logits.max(axis=-1)
     k = min(cfg.num_queries, score.shape[0])
     _, top = jax.lax.top_k(score, k)
+    # Official proposal baseline: logit([cx, cy, 0.05·2^lvl, 0.05·2^lvl])
+    # (gen_encoder_output_proposals) — the enc box head emits deltas
+    # relative to level-scaled default sizes, not zeros.
+    prop_wh = 0.05 * (2.0 ** lvl_idx[top].astype(jnp.float32))
+    proposals = jnp.concatenate(
+        [refs[top], prop_wh[:, None], prop_wh[:, None]], axis=-1
+    )
     ref_boxes = jax.nn.sigmoid(
         _box_mlp(enc_mem[top], params["enc_box"])
-        + jnp.concatenate([jax.scipy.special.logit(
-            jnp.clip(refs[top], 1e-4, 1 - 1e-4)), jnp.zeros((k, 2))], -1)
+        + jax.scipy.special.logit(jnp.clip(proposals, 1e-4, 1 - 1e-4))
     )  # (K, 4) cxcywh
     q = params["tgt_emb"][:k]
 
     for layer in params["dec"]:
-        pos = _mlp(_sine_embed(ref_boxes[:, :2], cfg.dim * 2)[:, : 2 * cfg.dim],
-                   params["ref_head"])
+        ref_in = ref_boxes
+        pos = _mlp(_sine_embed_boxes(ref_in, cfg.dim),
+                   params["ref_head"], jax.nn.relu)
         qp = q + pos
         q = _apply_ln(q + _mha(qp, qp, q, layer["self_attn"], cfg.heads),
                       layer["self_norm"])
@@ -647,22 +731,33 @@ def gdino_ground(
                      mask=add),
             layer["ca_text_norm"])
         q = _apply_ln(
-            q + ms_deform_attn(q + pos, ref_boxes[:, :2], src, shapes,
-                               layer["msda"], cfg.heads, cfg.points),
+            q + ms_deform_attn(q + pos, ref_in[:, :2], src, shapes,
+                               layer["msda"], cfg.heads, cfg.points,
+                               ref_wh=ref_in[:, 2:]),
             layer["msda_norm"])
-        q = _apply_ln(q + _mlp(q, layer["ffn"]), layer["ffn_norm"])
-        # Iterative box refinement (DINO): delta in logit space.
+        q = _apply_ln(q + _mlp(q, layer["ffn"], jax.nn.relu),
+                      layer["ffn_norm"])
+        # Iterative box refinement (DINO): delta in logit space, from the
+        # UN-normed layer output (official in-decoder refinement).
         delta = _box_mlp(q, params["bbox_head"])
         ref_boxes = jax.nn.sigmoid(
             delta + jax.scipy.special.logit(
-                jnp.clip(ref_boxes, 1e-4, 1 - 1e-4))
+                jnp.clip(ref_in, 1e-4, 1 - 1e-4))
         )
 
+    # Final predictions use the LayerNorm-ed decoder state (official: the
+    # in-decoder refinement runs on raw layer outputs, but the returned
+    # coords/logits come from bbox_embed/class head applied to norm(hs)
+    # against the reference INTO the last layer).
     q = _apply_ln(q, params["dec_norm"])
+    out_boxes = jax.nn.sigmoid(
+        _box_mlp(q, params["bbox_head"])
+        + jax.scipy.special.logit(jnp.clip(ref_in, 1e-4, 1 - 1e-4))
+    )
     out_logits = q @ txt.T
     out_logits = jnp.where(token_mask[None, :], out_logits, -1e9)
     return {
-        "boxes": ref_boxes,  # (K, 4) cxcywh in [0, 1]
+        "boxes": out_boxes,  # (K, 4) cxcywh in [0, 1]
         "scores": jax.nn.sigmoid(out_logits.max(axis=-1)),  # (K,)
         "logits": out_logits,
     }
@@ -720,12 +815,28 @@ class DinoGrounder:
     def random_init(cls, key, cfg: GDINOConfig = TEST_GDINO, **kw):
         return cls(init_gdino_params(key, cfg), cfg, **kw)
 
+    def _tokenize(self, prompt: str):
+        """Adapter: supports (tokens, mask)-tuple tokenizers (HashTokenizer)
+        AND transformers tokenizers returning a BatchEncoding — padded to
+        max_text_len so jit compiles once per config, not per prompt."""
+        out = self.tokenizer(prompt)
+        if isinstance(out, tuple):
+            return out
+        ids = np.asarray(out["input_ids"], np.int32).reshape(-1)
+        ml = self.cfg.max_text_len
+        tok = np.zeros((ml,), np.int32)
+        mask = np.zeros((ml,), bool)
+        n = min(len(ids), ml)
+        tok[:n] = ids[:n]
+        mask[:n] = True
+        return tok, mask
+
     def ground(self, image: np.ndarray, prompt: str) -> np.ndarray:
         h, w = image.shape[:2]
         s = self.image_size
         img = jax.image.resize(jnp.asarray(image, jnp.float32), (s, s, 3),
                                "bilinear")
-        tok, mask = self.tokenizer(prompt)
+        tok, mask = self._tokenize(prompt)
         out = self._fn(self.params, img, jnp.asarray(tok),
                        jnp.asarray(mask))
         scores = np.asarray(out["scores"])

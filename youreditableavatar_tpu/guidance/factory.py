@@ -222,6 +222,7 @@ def make_segmenter_backend(
         from youreditableavatar_tpu.guidance.sam import (
             SAM_VIT_B,
             SAM_VIT_H,
+            SAM_VIT_L,
             SAMSegmenter,
         )
 
@@ -230,8 +231,12 @@ def make_segmenter_backend(
                 f"sam backend needs --sam-weights (got {weights_path!r}); "
                 f"use 'heuristic' or 'sam-random' to run without weights"
             )
-        cfg = SAM_VIT_B if "vit_b" in os.path.basename(weights_path) \
-            else SAM_VIT_H
+        base = os.path.basename(weights_path)
+        cfg = SAM_VIT_H
+        if "vit_b" in base:
+            cfg = SAM_VIT_B
+        elif "vit_l" in base:
+            cfg = SAM_VIT_L
         grounder = None
         if dino_weights:
             import torch

@@ -36,12 +36,18 @@ from youreditableavatar_tpu.guidance.sd_layers import (
     _split,
     init_linear,
     init_norm,
-    layer_norm,
+    layer_norm as _layer_norm_eps,
     linear,
     linear_from_torch,
     norm_from_torch,
     t2j,
 )
+
+
+def layer_norm(x: Array, p: Params) -> Array:
+    """SAM builds every LayerNorm (ViT blocks, neck LayerNorm2d, decoder)
+    with eps=1e-6 — deviations compound over ViT-H's 32 blocks."""
+    return _layer_norm_eps(x, p, eps=1e-6)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +70,8 @@ class SAMConfig:
 
 
 SAM_VIT_H = SAMConfig()
+SAM_VIT_L = SAMConfig(embed_dim=1024, depth=24, heads=16,
+                      global_idx=(5, 11, 17, 23))
 SAM_VIT_B = SAMConfig(embed_dim=768, depth=12, heads=12,
                       global_idx=(2, 5, 8, 11))
 TEST_SAM = SAMConfig(img_size=64, embed_dim=32, depth=2, heads=4, window=2,
@@ -190,7 +198,7 @@ def _rel_pos_bias(size: int, rel: Array) -> Array:
     return rel[idx]  # (size, size, hd)
 
 
-def _window_attention(x: Array, p: Params, heads: int, size: int) -> Array:
+def _window_attention(x: Array, p: Params, heads: int) -> Array:
     """Attention over (B*, size, size, D) windows with decomposed rel-pos
     (segment-anything `Attention.forward` + `add_decomposed_rel_pos`)."""
     b, h, w, d = x.shape
@@ -228,7 +236,7 @@ def sam_encode_image(params: Params, image: Array,
         shortcut = x
         h = layer_norm(x, blk["ln1"])
         if i in cfg.global_idx:
-            h = _window_attention(h, blk, cfg.heads, g)
+            h = _window_attention(h, blk, cfg.heads)
         else:
             wsz = cfg.window
             pad = (wsz - g % wsz) % wsz
@@ -238,7 +246,7 @@ def sam_encode_image(params: Params, image: Array,
             hw = hp.reshape(-1, nb, wsz, nb, wsz, x.shape[-1])
             hw = hw.transpose(0, 1, 3, 2, 4, 5).reshape(
                 -1, wsz, wsz, x.shape[-1])
-            hw = _window_attention(hw, blk, cfg.heads, wsz)
+            hw = _window_attention(hw, blk, cfg.heads)
             hw = hw.reshape(-1, nb, nb, wsz, wsz, x.shape[-1])
             hw = hw.transpose(0, 1, 3, 2, 4, 5).reshape(
                 -1, gp, gp, x.shape[-1])
@@ -277,7 +285,9 @@ def sam_dense_pe(params: Params, g: int) -> Array:
 def sam_encode_box(params: Params, box: Array, img_size: int) -> Array:
     """(B, 4) xyxy pixel box → (B, 2, D) corner prompt tokens."""
     p = params["prompt"]
-    corners = box.reshape(-1, 2, 2) / img_size
+    # Official _embed_boxes shifts to pixel centers (boxes + 0.5) before
+    # normalizing.
+    corners = (box.reshape(-1, 2, 2) + 0.5) / img_size
     pe = _pe_encode(corners, p["pe_gaussian"])
     return pe + jnp.stack([p["point_emb"][2], p["point_emb"][3]])[None]
 
@@ -298,15 +308,22 @@ def sam_decode_masks(
     tokens = jnp.concatenate(
         [jnp.broadcast_to(out_tok[None], (b,) + out_tok.shape),
          prompt_tokens], axis=1)
-    src = image_embed.reshape(b, g * g, d)
+    # Official predict_masks: src = image_embeddings + dense prompt
+    # embedding, which is the learned no_mask embedding when no mask prompt
+    # is given.
+    src = image_embed.reshape(b, g * g, d) + params["prompt"]["no_mask"]
     pos = sam_dense_pe(params, g).reshape(1, g * g, d)
     q = tokens
     for i, lp in enumerate(dec["layers"]):
-        # SAM skips the PE add on the first layer's self-attention
-        # (`TwoWayTransformer` skip_first_layer_pe).
-        qq = q if i == 0 else q + tokens
-        q = layer_norm(q + _attn(qq, qq, q, lp["self_attn"],
+        if i == 0:
+            # skip_first_layer_pe: the first self-attention REPLACES the
+            # queries (no PE add, no residual) before norm1.
+            q = layer_norm(_attn(q, q, q, lp["self_attn"],
                                  cfg.decoder_heads), lp["ln1"])
+        else:
+            qq = q + tokens
+            q = layer_norm(q + _attn(qq, qq, q, lp["self_attn"],
+                                     cfg.decoder_heads), lp["ln1"])
         q = layer_norm(
             q + _attn(q + tokens, src + pos, src, lp["cross_t2i"],
                       cfg.decoder_heads), lp["ln2"])
@@ -381,11 +398,14 @@ class SAMSegmenter:
 
     def __init__(self, params, cfg: SAMConfig = TEST_SAM,
                  grounder: Optional[Grounder] = None,
-                 trust_decoder: bool = True):
+                 trust_decoder: bool = True,
+                 multimask: bool = False):
         self.params = params
         self.cfg = cfg
         self.grounder = grounder or Grounder()
         self.trust_decoder = trust_decoder
+        # LangSAM uses multimask_output=False (mask token 0).
+        self.multimask = multimask
         self._encode = jax.jit(
             lambda img: sam_encode_image(params, img, cfg))
         self._decode = jax.jit(
@@ -410,15 +430,27 @@ class SAMSegmenter:
         h, w = img.shape[:2]
         box = self.grounder.ground(img, prompt)
         s = self.cfg.img_size
-        x = jax.image.resize(jnp.asarray(img), (s, s, 3), "bilinear")
+        # Official preprocessing: resize the LONGEST side to img_size and
+        # zero-pad bottom/right to square (no aspect distortion).
+        scl = s / max(h, w)
+        rh, rw = max(round(h * scl), 1), max(round(w * scl), 1)
+        x = jax.image.resize(jnp.asarray(img), (rh, rw, 3), "bilinear")
         x = (x - self.MEAN) / self.STD
+        x = jnp.pad(x, ((0, s - rh), (0, s - rw), (0, 0)))
         emb = self._encode(x[None])
-        box_s = jnp.asarray(box) * jnp.asarray(
-            [s / w, s / h, s / w, s / h], jnp.float32)
+        box_s = jnp.asarray(box) * scl
         toks = sam_encode_box(self.params, box_s[None], s)
         masks, iou = self._decode(emb, toks)
-        best = int(jnp.argmax(iou[0]))
-        m = jax.image.resize(masks[0, best], (h, w), "bilinear")
+        # LangSAM predicts with multimask_output=False = mask token 0;
+        # multimask=True takes the best of tokens 1..3 by predicted IoU.
+        if self.multimask:
+            best = 1 + int(jnp.argmax(iou[0, 1:4]))
+        else:
+            best = 0
+        gm = masks.shape[-1]
+        crop = masks[0, best][: max(round(rh / s * gm), 1),
+                              : max(round(rw / s * gm), 1)]
+        m = jax.image.resize(crop, (h, w), "bilinear")
         mask = np.asarray(m > 0.0)
         if not self.trust_decoder:
             # Untrained decoder → restrict to the grounded box so the

@@ -113,13 +113,15 @@ def attention(
 
 
 def resnet_block(x: Array, temb: Optional[Array], p: Params,
-                 groups: int = 32) -> Array:
+                 groups: int = 32, eps: float = 1e-5) -> Array:
     """GN→SiLU→conv3×3 →(+time proj)→ GN→SiLU→conv3×3, residual (diffusers
     `ResnetBlock2D`, the unit of every SD up/down path)."""
-    h = conv2d(jax.nn.silu(group_norm(x, p["norm1"], groups)), p["conv1"])
+    h = conv2d(jax.nn.silu(group_norm(x, p["norm1"], groups, eps)),
+               p["conv1"])
     if temb is not None and "time_emb_proj" in p:
         h = h + linear(jax.nn.silu(temb), p["time_emb_proj"])[:, None, None, :]
-    h = conv2d(jax.nn.silu(group_norm(h, p["norm2"], groups)), p["conv2"])
+    h = conv2d(jax.nn.silu(group_norm(h, p["norm2"], groups, eps)),
+               p["conv2"])
     skip = conv2d(x, p["conv_shortcut"]) if "conv_shortcut" in p else x
     return skip + h
 
@@ -148,12 +150,14 @@ def transformer_block(x: Array, ctx: Array, p: Params, heads: int) -> Array:
 
 def spatial_transformer(x: Array, ctx: Array, p: Params, heads: int,
                         groups: int = 32) -> Array:
+    # diffusers Transformer2DModel builds its GroupNorm with eps=1e-6
+    # (unlike the UNet resnets' 1e-5).
     """GN → 1×1 proj_in → transformer block(s) over flattened pixels →
     1×1 proj_out, residual (diffusers `Transformer2DModel`,
     use_linear_projection=False as in SD1.5)."""
     b, h_, w_, c = x.shape
     res = x
-    y = group_norm(x, p["norm"], groups)
+    y = group_norm(x, p["norm"], groups, eps=1e-6)
     y = conv2d(y, p["proj_in"])
     y = y.reshape(b, h_ * w_, c)
     for blk in p["blocks"]:
@@ -162,11 +166,12 @@ def spatial_transformer(x: Array, ctx: Array, p: Params, heads: int,
     return res + conv2d(y, p["proj_out"])
 
 
-def self_attention_2d(x: Array, p: Params, groups: int = 32) -> Array:
+def self_attention_2d(x: Array, p: Params, groups: int = 32,
+                      eps: float = 1e-5) -> Array:
     """GN → single-head QKV self-attention over pixels (diffusers
     `Attention` as used in the VAE mid block)."""
     b, h_, w_, c = x.shape
-    y = group_norm(x, p["norm"], groups)
+    y = group_norm(x, p["norm"], groups, eps)
     y = y.reshape(b, h_ * w_, c)
     out = attention(linear(y, p["q"]), linear(y, p["k"]),
                     linear(y, p["v"]), heads=1)

@@ -19,6 +19,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from youreditableavatar_tpu.guidance.sd_layers import (
@@ -50,6 +51,7 @@ class UNetConfig:
     blocks_per_level: int = 2
     ctx_dim: int = 768
     head_dim: int = 40  # SD1.5: 8 heads at 320 → d_head 40
+    fixed_heads: "int | None" = 8  # SD1.5 legacy num-heads; SDXL: None
     groups: int = 32
     # levels with cross-attention (SD1.5: all but the deepest)
     attn_levels: Tuple[int, ...] = (0, 1, 2)
@@ -71,22 +73,28 @@ class UNetConfig:
         return self.pooled_dim + self.num_time_ids * self.add_time_dim
 
     def heads(self, ch: int) -> int:
+        # SD1.5's diffusers config attention_head_dim=8 is LEGACY num-heads:
+        # 8 heads at EVERY width (d_head 40/80/160). SDXL uses a true
+        # per-head dim of 64. `fixed_heads` selects the legacy behavior.
+        if self.fixed_heads is not None:
+            return self.fixed_heads
         return max(ch // self.head_dim, 1)
 
 
 SD15_UNET = UNetConfig()
 SDXL_UNET = UNetConfig(
     mults=(1, 2, 4), attn_levels=(1, 2), tf_depth=(0, 2, 10),
-    ctx_dim=2048, head_dim=64, add_embed=True,
+    ctx_dim=2048, head_dim=64, add_embed=True, fixed_heads=None,
 )
 # ctx_dim matches TEST_CLIP.dim so the random-init SD1.5 + CLIP pair wires
 # end-to-end without a projection (guidance/factory.py "sd15-random").
 TEST_UNET = UNetConfig(base=32, mults=(1, 2), blocks_per_level=1,
-                       ctx_dim=32, head_dim=16, groups=8, attn_levels=(0,))
+                       ctx_dim=32, head_dim=16, groups=8, attn_levels=(0,),
+                       fixed_heads=None)
 TEST_SDXL_UNET = UNetConfig(
     base=32, mults=(1, 2), blocks_per_level=1, ctx_dim=32, head_dim=16,
     groups=8, attn_levels=(1,), tf_depth=(0, 2), add_embed=True,
-    pooled_dim=32, add_time_dim=8,
+    pooled_dim=32, add_time_dim=8, fixed_heads=None,
 )
 
 
@@ -199,7 +207,10 @@ def apply_unet(
                 )
             skips.append(h)
         if "down" in level:
-            h = conv2d(h, level["down"], stride=2)
+            # diffusers Downsample2D pads 1 on BOTH sides (XLA "SAME" pads
+            # (0,1) for even sizes → one-pixel-shifted sampling windows).
+            h = conv2d(h, level["down"], stride=2,
+                       padding=((1, 1), (1, 1)))
             skips.append(h)
 
     if control_residuals is not None:
@@ -276,11 +287,23 @@ def _transformer_from_torch(sd, pre) -> Params:
     while f"{pre}.transformer_blocks.{d}.norm1.weight" in sd:
         blocks.append(_tblock_from_torch(sd, f"{pre}.transformer_blocks.{d}"))
         d += 1
+    def proj(name):
+        # SD1.5 stores proj_in/out as 1×1 Conv2d (OIHW, 4-D); SDXL with
+        # use_linear_projection=True stores nn.Linear (2-D) — mathematically
+        # the same 1×1 conv, reshaped here.
+        w = np.asarray(sd[f"{pre}.{name}.weight"], np.float32)
+        if w.ndim == 2:
+            return {
+                "w": jnp.asarray(w.T[None, None]),  # (1, 1, in, out)
+                "b": t2j(sd[f"{pre}.{name}.bias"]),
+            }
+        return conv_from_torch(sd, f"{pre}.{name}")
+
     return {
         "norm": norm_from_torch(sd, pre + ".norm"),
-        "proj_in": conv_from_torch(sd, pre + ".proj_in"),
+        "proj_in": proj("proj_in"),
         "blocks": blocks,
-        "proj_out": conv_from_torch(sd, pre + ".proj_out"),
+        "proj_out": proj("proj_out"),
     }
 
 
@@ -298,8 +321,11 @@ def convert_torch_unet(sd: Dict[str, Any],
     if "add_embedding.linear_1.weight" in sd:  # SDXL text_time embedding
         p["add1"] = linear_from_torch(sd, "add_embedding.linear_1")
         p["add2"] = linear_from_torch(sd, "add_embedding.linear_2")
-    nlevels = len(cfg.mults)
-    for i in range(nlevels):
+    # Probe levels from the checkpoint keys (like the VAE converter) so a
+    # cfg/checkpoint mismatch fails loudly downstream instead of silently
+    # appending empty levels or dropping real ones.
+    i = 0
+    while f"down_blocks.{i}.resnets.0.norm1.weight" in sd:
         level: Params = {"resnets": [], "attns": []}
         j = 0
         while f"down_blocks.{i}.resnets.{j}.norm1.weight" in sd:
@@ -313,6 +339,12 @@ def convert_torch_unet(sd: Dict[str, Any],
             level["down"] = conv_from_torch(
                 sd, f"down_blocks.{i}.downsamplers.0.conv")
         p["down"].append(level)
+        i += 1
+    if len(p["down"]) != len(cfg.mults):
+        raise ValueError(
+            f"checkpoint has {len(p['down'])} down levels but cfg.mults "
+            f"has {len(cfg.mults)} — wrong UNetConfig for this checkpoint"
+        )
 
     p["mid"] = {
         "res1": _resnet_from_torch(sd, "mid_block.resnets.0"),
@@ -347,7 +379,9 @@ def _load_torch_state_dict(path: str):
     if path.endswith(".safetensors"):
         try:
             from safetensors.torch import load_file
-            return load_file(path)
+            # Normalize dtype like the .bin branch: bf16/fp16 tensors have
+            # no direct numpy conversion and would crash the converters.
+            return {k: v.float().numpy() for k, v in load_file(path).items()}
         except ImportError as e:
             raise ImportError(
                 "safetensors not available; convert the checkpoint to "

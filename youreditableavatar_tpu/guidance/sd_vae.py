@@ -121,14 +121,15 @@ def vae_encode_moments(params: Params, images: Array,
     h = conv2d(images, enc["conv_in"])
     for level in enc["down"]:
         for res in level["resnets"]:
-            h = resnet_block(h, None, res, cfg.groups)
+            h = resnet_block(h, None, res, cfg.groups, eps=1e-6)
         if "down" in level:
             h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
             h = conv2d(h, level["down"], stride=2, padding="VALID")
-    h = resnet_block(h, None, enc["mid"]["res1"], cfg.groups)
-    h = self_attention_2d(h, enc["mid"]["attn"], cfg.groups)
-    h = resnet_block(h, None, enc["mid"]["res2"], cfg.groups)
-    h = jax.nn.silu(group_norm(h, enc["norm_out"], cfg.groups))
+    h = resnet_block(h, None, enc["mid"]["res1"], cfg.groups, eps=1e-6)
+    h = self_attention_2d(h, enc["mid"]["attn"], cfg.groups, eps=1e-6)
+    h = resnet_block(h, None, enc["mid"]["res2"], cfg.groups, eps=1e-6)
+    h = jax.nn.silu(group_norm(h, enc["norm_out"], cfg.groups,
+                               eps=1e-6))
     h = conv2d(h, enc["conv_out"])
     h = conv2d(h, params["quant"])
     mean, logvar = jnp.split(h, 2, axis=-1)
@@ -150,17 +151,18 @@ def vae_decode(params: Params, latents: Array,
     dec = params["decoder"]
     h = conv2d(latents, params["post_quant"])
     h = conv2d(h, dec["conv_in"])
-    h = resnet_block(h, None, dec["mid"]["res1"], cfg.groups)
-    h = self_attention_2d(h, dec["mid"]["attn"], cfg.groups)
-    h = resnet_block(h, None, dec["mid"]["res2"], cfg.groups)
+    h = resnet_block(h, None, dec["mid"]["res1"], cfg.groups, eps=1e-6)
+    h = self_attention_2d(h, dec["mid"]["attn"], cfg.groups, eps=1e-6)
+    h = resnet_block(h, None, dec["mid"]["res2"], cfg.groups, eps=1e-6)
     for level in dec["up"]:
         for res in level["resnets"]:
-            h = resnet_block(h, None, res, cfg.groups)
+            h = resnet_block(h, None, res, cfg.groups, eps=1e-6)
         if "up" in level:
             b, hh, ww, c = h.shape
             h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
             h = conv2d(h, level["up"])
-    h = jax.nn.silu(group_norm(h, dec["norm_out"], cfg.groups))
+    h = jax.nn.silu(group_norm(h, dec["norm_out"], cfg.groups,
+                               eps=1e-6))
     return conv2d(h, dec["conv_out"])
 
 
@@ -188,15 +190,11 @@ def _attn_from_torch(sd, pre) -> Params:
 
 
 def _res_from_torch(sd, pre) -> Params:
-    p = {
-        "norm1": norm_from_torch(sd, pre + ".norm1"),
-        "conv1": conv_from_torch(sd, pre + ".conv1"),
-        "norm2": norm_from_torch(sd, pre + ".norm2"),
-        "conv2": conv_from_torch(sd, pre + ".conv2"),
-    }
-    if pre + ".conv_shortcut.weight" in sd:
-        p["conv_shortcut"] = conv_from_torch(sd, pre + ".conv_shortcut")
-    return p
+    # Same mapping as the UNet resnet (both key-guard time_emb_proj /
+    # conv_shortcut) — single source of truth.
+    from youreditableavatar_tpu.guidance.sd_unet import _resnet_from_torch
+
+    return _resnet_from_torch(sd, pre)
 
 
 def convert_torch_vae(sd: Dict[str, Any],

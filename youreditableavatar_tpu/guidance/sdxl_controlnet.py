@@ -171,7 +171,8 @@ def _cond_embed(p: Params, img: Array) -> Array:
     h = jax.nn.silu(conv2d(img, p["conv_in"]))
     for blk in p["blocks"]:
         h = jax.nn.silu(conv2d(h, blk["a"]))
-        h = jax.nn.silu(conv2d(h, blk["b"], stride=2))
+        h = jax.nn.silu(conv2d(h, blk["b"], stride=2,
+                               padding=((1, 1), (1, 1))))
     return conv2d(h, p["conv_out"])
 
 
@@ -253,7 +254,9 @@ def apply_controlnet_union(
                                         u.heads(chans[lvl]), u.groups)
             taps.append(h)
         if "down" in level:
-            h = conv2d(h, level["down"], stride=2)
+            # diffusers Downsample2D pads (1, 1), not XLA "SAME".
+            h = conv2d(h, level["down"], stride=2,
+                       padding=((1, 1), (1, 1)))
             taps.append(h)
 
     mid = params["mid"]

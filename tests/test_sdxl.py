@@ -267,3 +267,108 @@ class TestConverterStructure:
         for a, b in zip(d1, d2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
+
+
+class TestFullUNetConverterRoundtrip:
+    def test_convert_torch_unet_full(self):
+        """Full diffusers-layout state dict (synthesized from random
+        params) through convert_torch_unet reproduces apply_unet outputs —
+        covers the complete converter path (down/mid/up, downsamplers,
+        upsamplers, add_embedding, SDXL linear proj_in/out)."""
+        import jax
+
+        from youreditableavatar_tpu.guidance.sd_unet import (
+            TEST_SDXL_UNET,
+            apply_unet,
+            convert_torch_unet,
+            init_unet_params,
+        )
+
+        cfg = TEST_SDXL_UNET
+        params = init_unet_params(jax.random.PRNGKey(0), cfg)
+        sd = {}
+
+        def put_lin(prefix, lp):
+            sd[prefix + ".weight"] = np.asarray(lp["w"]).T.copy()
+            if "b" in lp:
+                sd[prefix + ".bias"] = np.asarray(lp["b"]).copy()
+
+        def put_conv(prefix, cp):
+            sd[prefix + ".weight"] = np.asarray(cp["w"]).transpose(
+                3, 2, 0, 1).copy()
+            if "b" in cp:
+                sd[prefix + ".bias"] = np.asarray(cp["b"]).copy()
+
+        def put_norm(prefix, npp):
+            sd[prefix + ".weight"] = np.asarray(npp["scale"]).copy()
+            sd[prefix + ".bias"] = np.asarray(npp["bias"]).copy()
+
+        def put_res(prefix, rp):
+            put_norm(prefix + ".norm1", rp["norm1"])
+            put_conv(prefix + ".conv1", rp["conv1"])
+            put_norm(prefix + ".norm2", rp["norm2"])
+            put_conv(prefix + ".conv2", rp["conv2"])
+            if "time_emb_proj" in rp:
+                put_lin(prefix + ".time_emb_proj", rp["time_emb_proj"])
+            if "conv_shortcut" in rp:
+                put_conv(prefix + ".conv_shortcut", rp["conv_shortcut"])
+
+        def put_tf(prefix, tp):
+            put_norm(prefix + ".norm", tp["norm"])
+            # SDXL use_linear_projection: 2-D nn.Linear weights on disk.
+            w_in = np.asarray(tp["proj_in"]["w"])[0, 0]
+            sd[prefix + ".proj_in.weight"] = w_in.T.copy()
+            sd[prefix + ".proj_in.bias"] = np.asarray(tp["proj_in"]["b"])
+            w_out = np.asarray(tp["proj_out"]["w"])[0, 0]
+            sd[prefix + ".proj_out.weight"] = w_out.T.copy()
+            sd[prefix + ".proj_out.bias"] = np.asarray(tp["proj_out"]["b"])
+            for bi, blk in enumerate(tp["blocks"]):
+                bp = f"{prefix}.transformer_blocks.{bi}"
+                put_norm(bp + ".norm1", blk["norm1"])
+                put_norm(bp + ".norm2", blk["norm2"])
+                put_norm(bp + ".norm3", blk["norm3"])
+                for a in ("attn1", "attn2"):
+                    put_lin(f"{bp}.{a}.to_q", blk[a]["q"])
+                    put_lin(f"{bp}.{a}.to_k", blk[a]["k"])
+                    put_lin(f"{bp}.{a}.to_v", blk[a]["v"])
+                    put_lin(f"{bp}.{a}.to_out.0", blk[a]["out"])
+                put_lin(bp + ".ff.net.0.proj", blk["ff1"])
+                put_lin(bp + ".ff.net.2", blk["ff2"])
+
+        put_conv("conv_in", params["conv_in"])
+        put_lin("time_embedding.linear_1", params["time1"])
+        put_lin("time_embedding.linear_2", params["time2"])
+        put_lin("add_embedding.linear_1", params["add1"])
+        put_lin("add_embedding.linear_2", params["add2"])
+        put_norm("conv_norm_out", params["norm_out"])
+        put_conv("conv_out", params["conv_out"])
+        for i, level in enumerate(params["down"]):
+            for j, res in enumerate(level["resnets"]):
+                put_res(f"down_blocks.{i}.resnets.{j}", res)
+            for j, attn in enumerate(level["attns"]):
+                put_tf(f"down_blocks.{i}.attentions.{j}", attn)
+            if "down" in level:
+                put_conv(f"down_blocks.{i}.downsamplers.0.conv",
+                         level["down"])
+        put_res("mid_block.resnets.0", params["mid"]["res1"])
+        put_res("mid_block.resnets.1", params["mid"]["res2"])
+        put_tf("mid_block.attentions.0", params["mid"]["attn"])
+        for i, level in enumerate(params["up"]):
+            for j, res in enumerate(level["resnets"]):
+                put_res(f"up_blocks.{i}.resnets.{j}", res)
+            for j, attn in enumerate(level["attns"]):
+                put_tf(f"up_blocks.{i}.attentions.{j}", attn)
+            if "up" in level:
+                put_conv(f"up_blocks.{i}.upsamplers.0.conv", level["up"])
+
+        conv = convert_torch_unet(sd, cfg)
+        rng = np.random.default_rng(0)
+        z = jnp.asarray(rng.normal(size=(1, 8, 8, 4)), jnp.float32)
+        t = jnp.asarray([10], jnp.int32)
+        ctx = jnp.asarray(rng.normal(size=(1, 5, cfg.ctx_dim)), jnp.float32)
+        add = (jnp.asarray(rng.normal(size=(1, cfg.pooled_dim)),
+                           jnp.float32),
+               jnp.zeros((1, 6), jnp.float32))
+        a = apply_unet(params, z, t, ctx, cfg, add)
+        b = apply_unet(conv, z, t, ctx, cfg, add)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

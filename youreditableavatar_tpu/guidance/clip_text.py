@@ -46,6 +46,9 @@ class CLIPTextConfig:
     heads: int = 12
     mlp_dim: int = 3072
     eos_token_id: int = 49407
+    # SD1.5 / SDXL text_encoder use quick_gelu; the CLIP-bigG tower
+    # (SDXL text_encoder_2, laion OpenCLIP) uses plain gelu.
+    act: str = "quick_gelu"
 
 
 SD15_CLIP = CLIPTextConfig()
@@ -101,15 +104,25 @@ def quick_gelu(x: Array) -> Array:
 
 
 def apply_clip_text(params: Params, tokens: Array,
-                    cfg: CLIPTextConfig = TEST_CLIP) -> Array:
-    """(B, L) int32 token ids → (B, L, D) final hidden states."""
+                    cfg: CLIPTextConfig = TEST_CLIP,
+                    penultimate: bool = False) -> Array:
+    """(B, L) int32 token ids → (B, L, D) hidden states.
+
+    `penultimate=True` returns hidden_states[-2] (before the last layer and
+    WITHOUT final_layer_norm) — what SDXL's encode_prompt conditions on for
+    both text towers (clip_skip semantics).
+    """
+    act = quick_gelu if cfg.act == "quick_gelu" else jax.nn.gelu
     n = tokens.shape[1]
     x = params["tok_emb"][tokens] + params["pos_emb"][None, :n]
-    for lp in params["layers"]:
+    layers = params["layers"][:-1] if penultimate else params["layers"]
+    for lp in layers:
         x = x + _causal_attention(layer_norm(x, lp["ln1"]), lp["attn"],
                                   cfg.heads)
         h = layer_norm(x, lp["ln2"])
-        x = x + linear(quick_gelu(linear(h, lp["fc1"])), lp["fc2"])
+        x = x + linear(act(linear(h, lp["fc1"])), lp["fc2"])
+    if penultimate:
+        return x
     return layer_norm(x, params["final_norm"])
 
 

@@ -148,9 +148,10 @@ def make_inpainter_backend(
                     return p
             raise FileNotFoundError(f"no checkpoint file under {d}")
 
-        # CLIP-bigG text tower (hidden 1280, 32 layers) for encoder 2.
+        # CLIP-bigG text tower (hidden 1280, 32 layers, plain gelu — laion
+        # OpenCLIP, unlike the quick_gelu CLIP-L tower) for encoder 2.
         big_cfg = CLIPTextConfig(dim=1280, layers=32, heads=20,
-                                 mlp_dim=5120)
+                                 mlp_dim=5120, act="gelu")
         tok = os.path.join(weights_dir, "tokenizer")
         tok2 = os.path.join(weights_dir, "tokenizer_2")
         enc_l = CLIPPromptEncoder.from_torch_file(

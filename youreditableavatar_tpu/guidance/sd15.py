@@ -180,6 +180,8 @@ class CLIPPromptEncoder:
         self.cfg = cfg
         self.tokenizer = CLIPTokenizerWrapper(cfg, tokenizer_dir)
         self._apply = jax.jit(partial(apply_clip_text, cfg=cfg))
+        self._apply_penult = jax.jit(
+            partial(apply_clip_text, cfg=cfg, penultimate=True))
 
     @classmethod
     def random_init(cls, key: jax.Array,
@@ -188,10 +190,33 @@ class CLIPPromptEncoder:
 
     @classmethod
     def from_torch_file(cls, path: str, cfg: CLIPTextConfig = SD15_CLIP,
-                        **kw):
+                        allow_hash_tokenizer: bool = False, **kw):
+        if kw.get("tokenizer_dir") is None and not allow_hash_tokenizer:
+            # Real weights + the hash stand-in tokenizer would encode
+            # garbage token ids with no error — hard to diagnose. Demand the
+            # vocab files (or an explicit opt-in for smoke tests).
+            raise FileNotFoundError(
+                "real CLIP weights need tokenizer files: pass "
+                "tokenizer_dir=<dir with vocab.json/merges.txt>, or "
+                "allow_hash_tokenizer=True to knowingly run with hash ids"
+            )
         sd = _load_torch_state_dict(path)
         return cls(convert_torch_clip_text(sd), cfg, **kw)
 
     def encode(self, prompts: List[str]) -> Array:
         tokens = jnp.asarray(self.tokenizer(prompts))
         return self._apply(self.params, tokens)
+
+    def encode_penultimate(self, prompts: List[str]):
+        """(hidden_states[-2] context, tokens) — SDXL's conditioning layer."""
+        tokens = jnp.asarray(self.tokenizer(prompts))
+        return self._apply_penult(self.params, tokens), tokens
+
+    def encode_pooled(self, prompts: List[str]) -> Array:
+        """Final-layer pooled embedding at the first-EOS token position."""
+        tokens = jnp.asarray(self.tokenizer(prompts))
+        h = self._apply(self.params, tokens)
+        eos = jnp.argmax(
+            (tokens == self.cfg.eos_token_id).astype(jnp.int32), axis=1
+        )
+        return h[jnp.arange(h.shape[0]), eos]

@@ -38,6 +38,7 @@ from youreditableavatar_tpu.guidance.sd_layers import (
     norm_from_torch,
     resnet_block,
     spatial_transformer,
+    t2j,
     timestep_embedding,
 )
 
@@ -352,7 +353,7 @@ def convert_torch_unet(sd: Dict[str, Any],
         "res2": _resnet_from_torch(sd, "mid_block.resnets.1"),
     }
 
-    for i in range(nlevels):
+    for i in range(len(p["down"])):
         level = {"resnets": [], "attns": []}
         j = 0
         while f"up_blocks.{i}.resnets.{j}.norm1.weight" in sd:

@@ -95,6 +95,9 @@ class SDXLControlNetUnionPipeline:
         self.cfg = cfg
         self.dtype = dtype
         self.alphas_cumprod = ddpm_alphas_cumprod(cfg.num_train_timesteps)
+        # Jitted denoise steps, cached per (control types, pinned?) — one
+        # trace per configuration instead of 2 eager UNet dispatches/step.
+        self._step_fns = {}
 
     # ------------------------------------------------------------ builders
 
@@ -140,41 +143,77 @@ class SDXLControlNetUnionPipeline:
         n = max(int(round(steps * strength)), 1)
         return np.linspace(init_t, 0, n + 1).round().astype(np.int32)
 
-    def _cfg_eps(self, z, ti, cond, uncond, controls):
-        """One CFG denoise prediction with controlnet residuals."""
-        (ctx_c, pool_c), (ctx_u, pool_u) = cond, uncond
-        b = z.shape[0]
-        tb = jnp.full((b,), int(ti), jnp.int32)
-        time_ids = jnp.tile(
-            jnp.asarray(
-                [[z.shape[1] * 8, z.shape[2] * 8, 0, 0,
-                  z.shape[1] * 8, z.shape[2] * 8]], jnp.float32),
-            (b, 1))
-        eps = []
-        for ctx, pooled in ((ctx_c, pool_c), (ctx_u, pool_u)):
-            ctx = jnp.broadcast_to(ctx, (b,) + ctx.shape[1:])
-            pooled = jnp.broadcast_to(pooled, (b,) + pooled.shape[1:])
-            add_cond = (pooled, time_ids)
+    def _get_step(self, ctrl_types: tuple, pinned: bool):
+        """Jitted CFG+DDIM(+mask-pin) step: cond/uncond batched into ONE
+        ControlNet+UNet call (half the dispatches, full MXU batch), traced
+        once per (control types, pinned) configuration."""
+        cache_key = (ctrl_types, pinned)
+        if cache_key in self._step_fns:
+            return self._step_fns[cache_key]
+
+        acp = jnp.asarray(self.alphas_cumprod)
+        gs = self.cfg.guidance_scale
+        dsc = self.cfg.vae.downscale
+        dt = self.dtype
+
+        def denoise(z, ti, ctx2, pooled2, imgs):
+            b = z.shape[0]
+            z2 = jnp.concatenate([z, z]).astype(dt)
+            tb = jnp.full((2 * b,), ti, jnp.int32)
+            px = jnp.asarray(
+                [z.shape[1] * dsc, z.shape[2] * dsc, 0, 0,
+                 z.shape[1] * dsc, z.shape[2] * dsc], jnp.float32)
+            time_ids = jnp.tile(px[None], (2 * b, 1))
+            add_cond = (pooled2.astype(dt), time_ids.astype(dt))
             residuals = None
-            if controls:
+            if ctrl_types:
+                controls = [
+                    (t, jnp.concatenate([im, im]).astype(dt))
+                    for t, im in zip(ctrl_types, imgs)
+                ]
                 residuals = apply_controlnet_union(
-                    self.controlnet_params, z, tb, ctx, controls,
-                    self.cfg.controlnet, add_cond,
+                    self.controlnet_params, z2, tb, ctx2.astype(dt),
+                    controls, self.cfg.controlnet, add_cond,
                     self.cfg.controlnet_scale,
                 )
-            eps.append(apply_unet(
-                self.unet_params, z, tb, ctx, self.cfg.unet, add_cond,
-                residuals,
-            ))
-        s = self.cfg.guidance_scale
-        return eps[1] + s * (eps[0] - eps[1])
+            eps2 = apply_unet(
+                self.unet_params, z2, tb, ctx2.astype(dt), self.cfg.unet,
+                add_cond, residuals,
+            ).astype(jnp.float32)
+            return eps2[b:] + gs * (eps2[:b] - eps2[b:])
 
-    def _ddim_step(self, z, eps, ti, ti_prev):
-        acp = self.alphas_cumprod
-        a_t = acp[int(ti)]
-        a_prev = acp[int(ti_prev)] if ti_prev > 0 else jnp.float32(1.0)
-        z0 = (z - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
-        return jnp.sqrt(a_prev) * z0 + jnp.sqrt(1.0 - a_prev) * eps
+        if pinned:
+            def step(z, ti, tp, ctx2, pooled2, imgs, z_orig, m, kz):
+                eps = denoise(z, ti, ctx2, pooled2, imgs)
+                a_t = acp[ti]
+                a_prev = jnp.where(tp > 0, acp[tp], 1.0)
+                z0 = (z - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+                z = jnp.sqrt(a_prev) * z0 + jnp.sqrt(1.0 - a_prev) * eps
+                zn = jnp.where(
+                    tp > 0,
+                    jnp.sqrt(acp[tp]) * z_orig + jnp.sqrt(1.0 - acp[tp])
+                    * jax.random.normal(kz, z_orig.shape, jnp.float32),
+                    z_orig,
+                )
+                return m * z + (1.0 - m) * zn
+        else:
+            def step(z, ti, tp, ctx2, pooled2, imgs):
+                eps = denoise(z, ti, ctx2, pooled2, imgs)
+                a_t = acp[ti]
+                a_prev = jnp.where(tp > 0, acp[tp], 1.0)
+                z0 = (z - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+                return jnp.sqrt(a_prev) * z0 + jnp.sqrt(1.0 - a_prev) * eps
+
+        fn = jax.jit(step)
+        self._step_fns[cache_key] = fn
+        return fn
+
+    @staticmethod
+    def _cfg_batch(cond, uncond, b: int):
+        (ctx_c, pool_c), (ctx_u, pool_u) = cond, uncond
+        bc = lambda x: jnp.broadcast_to(x, (b,) + x.shape[1:])
+        return (jnp.concatenate([bc(ctx_c), bc(ctx_u)]),
+                jnp.concatenate([bc(pool_c), bc(pool_u)]))
 
     def _encode_image(self, image: Array, key) -> Array:
         x = (image[None] * 2.0 - 1.0).astype(self.dtype)
@@ -199,7 +238,6 @@ class SDXLControlNetUnionPipeline:
         k_enc, k_noise = jax.random.split(key)
         image = jnp.asarray(image, jnp.float32)
         z_orig = self._encode_image(image, k_enc)
-        d = self.cfg.vae.downscale
         m = jax.image.resize(
             jnp.asarray(mask, jnp.float32),
             (z_orig.shape[1], z_orig.shape[2]), "nearest",
@@ -214,20 +252,20 @@ class SDXLControlNetUnionPipeline:
         noise = jax.random.normal(k_noise, z_orig.shape, jnp.float32)
         acp = self.alphas_cumprod
         t0 = int(ts[0])
-        z = jnp.sqrt(acp[t0]) * z_orig + jnp.sqrt(1.0 - acp[t0]) * noise
+        if strength >= 1.0:
+            # Reference inpaint pipeline: at max strength start from PURE
+            # noise (is_strength_max), not a sqrt(acp[999])-weighted mix.
+            z = noise
+        else:
+            z = jnp.sqrt(acp[t0]) * z_orig + jnp.sqrt(1.0 - acp[t0]) * noise
+        types = tuple(t for t, _ in controls)
+        imgs = tuple(im for _, im in controls)
+        ctx2, pooled2 = self._cfg_batch(cond, uncond, z.shape[0])
+        step = self._get_step(types, pinned=True)
         for i in range(len(ts) - 1):
-            ti, tp = int(ts[i]), int(ts[i + 1])
-            eps = self._cfg_eps(z, ti, cond, uncond, controls)
-            z = self._ddim_step(z, eps, ti, tp)
-            # keep the unmasked region pinned to the (re-noised) original
-            if tp > 0:
-                kz = jax.random.fold_in(k_noise, i)
-                zn = jnp.sqrt(acp[tp]) * z_orig + jnp.sqrt(
-                    1.0 - acp[tp]) * jax.random.normal(
-                        kz, z_orig.shape, jnp.float32)
-            else:
-                zn = z_orig
-            z = m * z + (1.0 - m) * zn
+            z = step(z, jnp.int32(ts[i]), jnp.int32(ts[i + 1]),
+                     ctx2, pooled2, imgs, z_orig, m,
+                     jax.random.fold_in(k_noise, i))
         return self._decode(z)
 
     def img2img(self, image, control, prompt: str, key=None,
@@ -248,9 +286,13 @@ class SDXLControlNetUnionPipeline:
         acp = self.alphas_cumprod
         t0 = int(ts[0])
         z = jnp.sqrt(acp[t0]) * z_orig + jnp.sqrt(1.0 - acp[t0]) * noise
+        types = tuple(t for t, _ in controls)
+        imgs = tuple(im for _, im in controls)
+        ctx2, pooled2 = self._cfg_batch(cond, uncond, z.shape[0])
+        step = self._get_step(types, pinned=False)
         for i in range(len(ts) - 1):
-            eps = self._cfg_eps(z, int(ts[i]), cond, uncond, controls)
-            z = self._ddim_step(z, eps, int(ts[i]), int(ts[i + 1]))
+            z = step(z, jnp.int32(ts[i]), jnp.int32(ts[i + 1]),
+                     ctx2, pooled2, imgs)
         return self._decode(z)
 
 
@@ -283,10 +325,13 @@ class SDXLTextEncoder:
         self.proj_g = proj_g  # (1280, 1280) text projection for pooled
 
     def encode_with_pooled(self, prompts):
-        h_l = self.enc_l.encode(prompts)
-        h_g = self.enc_g.encode(prompts)
+        # SDXL conditions on the PENULTIMATE hidden layer of both towers
+        # (clip_skip semantics); the pooled embedding comes from the bigG
+        # tower's FINAL layer at the first-EOS position, text-projected.
+        h_l, _ = self.enc_l.encode_penultimate(prompts)
+        h_g, _ = self.enc_g.encode_penultimate(prompts)
         ctx = jnp.concatenate([h_l, h_g], axis=-1)
-        pooled = h_g[:, -1] @ self.proj_g
+        pooled = self.enc_g.encode_pooled(prompts) @ self.proj_g
         return ctx, pooled
 
 

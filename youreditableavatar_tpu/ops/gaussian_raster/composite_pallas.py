@@ -11,7 +11,9 @@ TPU-native re-design of `renderCUDA` (`forward.cu:261-374`) and its backward
     (128, 16) × (16, 2·1024) matmul against a fixed tile-local pixel basis
     [px², px·py, py², px, py, 1] — the per-pair quadratic coefficients are
     precomputed on the (P,) axis by XLA glue (`_build_qt`) and shipped as a
-    (P, 16) row-major array the kernel DMAs in (128, 16) blocks. The
+    (P, QPAD=128) row-major array (cols ≥ 16 zero — Mosaic requires HBM
+    minor-dim slices 128-aligned; the padded k is free on the 128-wide
+    systolic array) the kernel DMAs in (128, 128) blocks. The
     matmul's second 1024-column segment broadcasts per-pair opacity into a
     pixel plane (constant basis row), giving batched alpha/cull/clamp planes
     with no per-pair scalar reads at all. Per-pair colors ride the same
@@ -21,7 +23,7 @@ TPU-native re-design of `renderCUDA` (`forward.cu:261-374`) and its backward
     CUDA also cannot parallelize — is a minimal ~10-vec-op scan per pair
     over precomputed planes.
   * UNPADDED pair layout: each tile's chunk DMAs start at its true (tile
-    start) row — (128, 16) row blocks are minor-dim-complete, so no start
+    start) row — (128, QPAD) row blocks are minor-dim-complete, so no start
     alignment is needed and the chunk-padding scatter of the first design
     (an O(P) 1-D indexed op, ~1.2 ms at 512²) is gone. A chunk's tail rows
     may belong to the NEXT tile; a batched `row < count` plane zeroes them
@@ -69,7 +71,14 @@ from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import (
 CHUNK = 128  # pairs per DMA chunk
 SUB, LANE = 8, 128  # pixel vector register shape; SUB*LANE = tile_size**2
 PIX = SUB * LANE
-QROWS = 16  # columns of the per-pair coefficient block (6 quad + 3 color + op)
+QROWS = 16  # live columns of the coefficient block (6 quad + 3 color + op + map)
+# HBM row width of the coefficient table. Mosaic requires minor-dim slices of
+# HBM memrefs to be 128-aligned (a (CHUNK, 16) DMA from a (P, 16) table fails
+# to lower: "Slice shape along dimension 1 must be aligned to tiling (128)"),
+# so rows are stored 128 wide with cols ≥ QROWS zero. The MXU cost of the
+# chunk matmul is unchanged (a k=16 contraction pads to k=128 in the systolic
+# array anyway); the price is 8× the qt DMA bytes, ~0.1 ms/pass at 512².
+QPAD = LANE
 NGRAD = 9  # per-pair gradient fields (mean2, conic3, opacity, color3)
 
 _HI = jax.lax.Precision.HIGHEST
@@ -78,17 +87,19 @@ _SEQ = pltpu.CompilerParams(dimension_semantics=["arbitrary"])
 
 @functools.lru_cache(maxsize=4)
 def _basis_np(tile_size: int) -> np.ndarray:
-    """(QROWS, 2·PIX) fixed pixel basis for the chunk matmul.
+    """(QPAD, 2·PIX) fixed pixel basis for the chunk matmul.
 
     Left PIX columns: rows 0..5 = [px², px·py, py², px, py, 1] in tile-local
     coordinates (power plane). Right PIX columns: row 9 = 1 (opacity
-    broadcast plane). Color rows 6..8 are zero — they ride the same (128, 16)
-    coefficient block but only feed the color matmuls.
+    broadcast plane). Color rows 6..8 are zero — they ride the same
+    (128, QPAD) coefficient block but only feed the color matmuls. Rows
+    ≥ 10 are zero everywhere: cols 10..14 of the block carry the fused
+    backward's map coefficients, inert under this matmul.
     """
     p = np.arange(PIX)
     pxl = (p % tile_size).astype(np.float32)
     pyl = (p // tile_size).astype(np.float32)
-    b = np.zeros((QROWS, 2 * PIX), np.float32)
+    b = np.zeros((QPAD, 2 * PIX), np.float32)
     b[0, :PIX] = pxl * pxl
     b[1, :PIX] = pxl * pyl
     b[2, :PIX] = pyl * pyl
@@ -114,7 +125,7 @@ def _tile_local(pair_rows: Array, pair_tiles: Array, ntx: int,
 
 def _build_qt(pair_rows: Array, pair_tiles: Array, ntx: int,
               tile_size: int) -> Array:
-    """(P + CHUNK, QROWS) per-pair chunk-matmul coefficients (XLA glue).
+    """(P + CHUNK, QPAD) per-pair chunk-matmul coefficients (XLA glue).
 
     Expansion of power = −½(ca·dx² + cc·dy²) − cb·dx·dy with
     dx = pxl − mxl, dy = pyl − myl in TILE-LOCAL coordinates (mxl = mean_x −
@@ -122,11 +133,15 @@ def _build_qt(pair_rows: Array, pair_tiles: Array, ntx: int,
     the fp32 expansion has no catastrophic cancellation (absolute 512-px
     coordinates would lose ~3 digits). The CHUNK zero tail rows keep the last
     tile's final chunk DMA in bounds (zero coefficients → alpha 0, inert).
+
+    Cols 10..14 = [mxl, myl, ca, cb, cc] — the fused backward's per-pair
+    moment→grad map coefficients, riding the same DMA stream (the basis rows
+    they hit are zero, so they are inert in the pre-pass matmul). Cols
+    15..QPAD−1 are lane padding (HBM minor-dim slices must be 128-aligned).
     """
     ca, cb, cc = pair_rows[:, 2], pair_rows[:, 3], pair_rows[:, 4]
     op = pair_rows[:, 5]
     mxl, myl = _tile_local(pair_rows, pair_tiles, ntx, tile_size)
-    z = jnp.zeros_like(op)
     qt = jnp.stack(
         [
             -0.5 * ca,  # · px²
@@ -137,12 +152,15 @@ def _build_qt(pair_rows: Array, pair_tiles: Array, ntx: int,
             -0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl,
             pair_rows[:, 6], pair_rows[:, 7], pair_rows[:, 8],  # color
             op,  # opacity (broadcast via the right basis segment)
-            z, z, z, z, z, z,
+            mxl, myl, ca, cb, cc,  # fused-backward map coefficients
         ],
         axis=1,
     )
+    qt = jnp.concatenate(
+        [qt, jnp.zeros((qt.shape[0], QPAD - qt.shape[1]), qt.dtype)], axis=1
+    )
     return jnp.concatenate(
-        [qt, jnp.zeros((CHUNK, QROWS), qt.dtype)], axis=0
+        [qt, jnp.zeros((CHUNK, QPAD), qt.dtype)], axis=0
     )
 
 
@@ -224,8 +242,8 @@ def _make_bwd_scan(a0_s, dpf_s, dcg_s, w_s, dpw_s, k_const):
 def _forward_kernel(
     starts_ref,  # scalar prefetch: (T,) int32 tile range starts (unaligned)
     counts_ref,  # scalar prefetch: (T,) int32 pair counts
-    qt_hbm,  # (P + CHUNK, QROWS) per-pair coefficients in HBM
-    basis_ref,  # (QROWS, 2·PIX) fixed pixel basis (VMEM)
+    qt_hbm,  # (P + CHUNK, QPAD) per-pair coefficients in HBM
+    basis_ref,  # (QPAD, 2·PIX) fixed pixel basis (VMEM)
     out_ref,  # (1, 4, SUB, LANE) VMEM: rows r, g, b, T
     *,
     unroll: int = 1,
@@ -313,7 +331,7 @@ def _forward_kernel(
 
     pl.run_scoped(
         scoped,
-        qblk_s=pltpu.VMEM((2, CHUNK, QROWS), jnp.float32),
+        qblk_s=pltpu.VMEM((2, CHUNK, QPAD), jnp.float32),
         a0_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
         w_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
@@ -323,8 +341,8 @@ def _forward_kernel(
 def _backward_kernel(
     starts_ref,  # scalar prefetch: (T,) int32
     counts_ref,  # scalar prefetch: (T,) int32
-    qt_hbm,  # (P + CHUNK, QROWS) per-pair coefficients in HBM
-    basis_ref,  # (QROWS, 2·PIX) fixed pixel basis (VMEM)
+    qt_hbm,  # (P + CHUNK, QPAD) per-pair coefficients in HBM
+    basis_ref,  # (QPAD, 2·PIX) fixed pixel basis (VMEM)
     fwd_ref,  # (1, 4, SUB, LANE) VMEM: forward r, g, b, T_final
     cot_ref,  # (1, 4, SUB, LANE) VMEM: cotangents dr, dg, db, dT
     dpair_hbm,  # out: (P + CHUNK, 128) HBM moment rows, cols 0..8 live
@@ -493,7 +511,7 @@ def _backward_kernel(
 
     pl.run_scoped(
         scoped,
-        qblk_s=pltpu.VMEM((2, CHUNK, QROWS), jnp.float32),
+        qblk_s=pltpu.VMEM((2, CHUNK, QPAD), jnp.float32),
         a0_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
         dpf_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
         dcg_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
@@ -520,7 +538,7 @@ def _forward_call(qt, starts, counts, tile_size, interpret):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (QROWS, 2 * PIX), lambda t, s, c: (0, 0),
+                (QPAD, 2 * PIX), lambda t, s, c: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -552,7 +570,7 @@ def _backward_call(qt, starts, counts, fwd_pack, cot_pack, tile_size,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (QROWS, 2 * PIX), lambda t, s, c: (0, 0),
+                (QPAD, 2 * PIX), lambda t, s, c: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -696,10 +714,9 @@ composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)
 def _backward_kernel_fused(
     starts_ref,  # scalar prefetch: (T,) int32
     counts_ref,  # scalar prefetch: (T,) int32
-    qt_hbm,  # (P + CHUNK, QROWS) coefficients
-    qc_hbm,  # (P + CHUNK, 8) map columns [mxl, myl, ca, cb, cc, op, 0, 0]
+    qt_hbm,  # (P + CHUNK, QPAD) coefficients (map columns ride cols 10..14)
     ids_hbm,  # (P + CHUNK,) int32 gaussian id + 1 (0 = trash row)
-    basis_ref,  # (QROWS, 2·PIX) fixed pixel basis (VMEM)
+    basis_ref,  # (QPAD, 2·PIX) fixed pixel basis (VMEM)
     fwd_ref,  # (1, 4, SUB, LANE)
     cot_ref,  # (1, 4, SUB, LANE)
     acc_ref,  # out: (N + 1, QROWS) VMEM per-gaussian grad accumulator
@@ -719,18 +736,14 @@ def _backward_kernel_fused(
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def scoped(qblk_s, qcblk_s, ids_s, a0_s, dpf_s, dcg_s, w_s, dpw_s,
-               gmat_s, sems, qcsems, isems):
+    def scoped(qblk_s, ids_s, a0_s, dpf_s, dcg_s, w_s, dpw_s,
+               gmat_s, sems, isems):
         def start_dma(c, slot):
             row0 = start + c * CHUNK
             return (
                 pltpu.make_async_copy(
                     qt_hbm.at[pl.ds(row0, CHUNK)], qblk_s.at[slot],
                     sems.at[slot],
-                ),
-                pltpu.make_async_copy(
-                    qc_hbm.at[pl.ds(row0, CHUNK)], qcblk_s.at[slot],
-                    qcsems.at[slot],
                 ),
                 pltpu.make_async_copy(
                     ids_hbm.at[pl.ds(row0, CHUNK)], ids_s.at[slot],
@@ -789,10 +802,9 @@ def _backward_kernel_fused(
             t2xy = red(dpw * pxy[None])
             t2yy = red(dpw * pyy[None])
             ww = w_s[...]
-            qc = qcblk_s[slot]
-            mxl, myl = qc[:, 0:1], qc[:, 1:2]
-            ca, cb, cc = qc[:, 2:3], qc[:, 3:4], qc[:, 4:5]
-            op = qc[:, 5:6]
+            mxl, myl = q[:, 10:11], q[:, 11:12]
+            ca, cb, cc = q[:, 12:13], q[:, 13:14], q[:, 14:15]
+            op = q[:, 9:10]
             s0 = t1x - mxl * t0
             s1 = t1y - myl * t0
             s2 = t2xx - 2.0 * mxl * t1x + mxl * mxl * t0
@@ -843,8 +855,7 @@ def _backward_kernel_fused(
 
     pl.run_scoped(
         scoped,
-        qblk_s=pltpu.VMEM((2, CHUNK, QROWS), jnp.float32),
-        qcblk_s=pltpu.VMEM((2, CHUNK, 8), jnp.float32),
+        qblk_s=pltpu.VMEM((2, CHUNK, QPAD), jnp.float32),
         ids_s=pltpu.SMEM((2, CHUNK), jnp.int32),
         a0_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
         dpf_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
@@ -853,12 +864,11 @@ def _backward_kernel_fused(
         dpw_s=pltpu.VMEM((CHUNK, SUB, LANE), jnp.float32),
         gmat_s=pltpu.VMEM((CHUNK, QROWS), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
-        qcsems=pltpu.SemaphoreType.DMA((2,)),
         isems=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
-def _backward_call_fused(qt, qc, ids, n_rows, starts, counts, fwd_pack,
+def _backward_call_fused(qt, ids, n_rows, starts, counts, fwd_pack,
                          cot_pack, tile_size, interpret):
     num_t = starts.shape[0]
     kernel = functools.partial(
@@ -872,9 +882,8 @@ def _backward_call_fused(qt, qc, ids, n_rows, starts, counts, fwd_pack,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (QROWS, 2 * PIX), lambda t, s, c: (0, 0),
+                (QPAD, 2 * PIX), lambda t, s, c: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -896,7 +905,7 @@ def _backward_call_fused(qt, qc, ids, n_rows, starts, counts, fwd_pack,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=["arbitrary"], has_side_effects=True,
         ),
-    )(starts, counts, qt, qc, ids, basis, fwd_pack, cot_pack)
+    )(starts, counts, qt, ids, basis, fwd_pack, cot_pack)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -941,21 +950,8 @@ def _composite_fused_fwd(fields_ext, pair_gauss, pair_tiles, starts, counts,
             f"{n_rows - 1} gaussians"
         )
     pair_rows = fields_ext[pair_gauss + 1]
+    # The moment->grad map coefficients ride qt cols 10..14 (one DMA stream).
     qt = _build_qt(pair_rows, pair_tiles, ntx, tile_size)
-    mxl, myl = _tile_local(pair_rows, pair_tiles, ntx, tile_size)
-    z = jnp.zeros_like(mxl)
-    qc = jnp.concatenate(
-        [
-            jnp.stack(
-                [mxl, myl,
-                 pair_rows[:, 2], pair_rows[:, 3], pair_rows[:, 4],
-                 pair_rows[:, 5], z, z],
-                axis=1,
-            ),
-            jnp.zeros((CHUNK, 8), jnp.float32),
-        ],
-        axis=0,
-    )
     # NOTE: sentinel (culled/overflow) pairs carry REAL gaussian ids here —
     # correctness rests on the kernel's live mask zeroing every gmat row
     # beyond a tile's count (sentinel pairs are in no tile's range), NOT on
@@ -967,12 +963,12 @@ def _composite_fused_fwd(fields_ext, pair_gauss, pair_tiles, starts, counts,
     packed = _forward_call(qt, starts, counts, tile_size, interpret)
     rgb = packed[:, :3].reshape(-1, 3, PIX)
     final_t = packed[:, 3].reshape(-1, PIX)
-    res = (fields_ext, qt, qc, ids, starts, counts, packed)
+    res = (fields_ext, qt, ids, starts, counts, packed)
     return (rgb, final_t), res
 
 
 def _composite_fused_bwd(ntx, nty, tile_size, interpret, residuals, cot):
-    fields_ext, qt, qc, ids, starts, counts, packed = residuals
+    fields_ext, qt, ids, starts, counts, packed = residuals
     drgb, dt = cot
     num_t = starts.shape[0]
     cot_pack = jnp.concatenate(
@@ -983,7 +979,7 @@ def _composite_fused_bwd(ntx, nty, tile_size, interpret, residuals, cot):
         axis=1,
     )
     acc = _backward_call_fused(
-        qt, qc, ids, fields_ext.shape[0], starts, counts, packed, cot_pack,
+        qt, ids, fields_ext.shape[0], starts, counts, packed, cot_pack,
         tile_size, interpret,
     )
     dfields = acc[:, :9].at[0].set(0.0)  # row 0 collects pad-row no-ops

@@ -2,7 +2,7 @@
 
 Times each stage of render_gaussians' pallas path in isolation (own jit, with
 stop_gradient inputs so only the stage under test runs):
-  preprocess / binning / row gather / qt build / fwd kernel / bwd kernel /
+  preprocess / binning / pad+scatter / row gather / fwd kernel / bwd kernel /
   pair-grad row scatter-add (VJP of the gather) / full fwd / full fwd+bwd.
 """
 
@@ -25,12 +25,14 @@ from youreditableavatar_tpu.ops.gaussian_raster.preprocess import (
 )
 from youreditableavatar_tpu.ops.gaussian_raster.binning import (
     bin_gaussians,
+    pad_tile_ranges,
 )
+from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import NUM_FIELDS
 from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
     CHUNK,
-    _backward_call,
-    _build_qt,
     _forward_call,
+    _backward_call,
+    composite_tiles_pallas,
 )
 
 
@@ -63,46 +65,53 @@ def main():
     binning = binf(proj)
     print(f"binning:           {timeit(binf, proj):7.2f} ms")
 
+    padded_size = cfg.pair_budget + ntx * nty * CHUNK
+    padf = jax.jit(lambda b: pad_tile_ranges(b, CHUNK, padded_size))
+    dst, astart, total = padf(binning)
+    print(f"pad_tile_ranges:   {timeit(padf, binning):7.2f} ms")
+
     def build_fields(proj):
+        zeros = jnp.zeros_like(proj.opacity)
         return jnp.stack(
             [proj.mean2d[:, 0], proj.mean2d[:, 1],
              proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
              proj.opacity,
-             proj.color[:, 0], proj.color[:, 1], proj.color[:, 2]], axis=1)
+             proj.color[:, 0], proj.color[:, 1], proj.color[:, 2]]
+            + [zeros] * (NUM_FIELDS - 9), axis=1)
 
     fieldsf = jax.jit(build_fields)
     fields = fieldsf(proj)
     print(f"build fields:      {timeit(fieldsf, proj):7.2f} ms")
 
+    scat = jax.jit(lambda pg, d: jnp.zeros((padded_size,), jnp.int32).at[d].set(
+        pg + 1, mode="drop"))
+    pg_padded = scat(binning.pair_gauss, dst)
+    print(f"1-D id scatter:    {timeit(scat, binning.pair_gauss, dst):7.2f} ms")
+
     gath = jax.jit(lambda f, pg: jnp.concatenate(
-        [jnp.zeros((1, 9), f.dtype), f], axis=0)[pg + 1])
-    pair_rows = gath(fields, binning.pair_gauss)
-    pair_tiles = binning.pair_tile
-    print(f"row gather:        {timeit(gath, fields, binning.pair_gauss):7.2f} ms")
+        [jnp.zeros((1, NUM_FIELDS), f.dtype), f], axis=0)[pg])
+    pair_rows = gath(fields, pg_padded)
+    print(f"row gather:        {timeit(gath, fields, pg_padded):7.2f} ms")
 
-    qtf = jax.jit(lambda pr, pt: _build_qt(pr, pt, ntx, ts))
-    qt = qtf(pair_rows, pair_tiles)
-    print(f"qt build:          {timeit(qtf, pair_rows, pair_tiles):7.2f} ms")
-
-    starts, tcounts = binning.tile_start, binning.tile_count
-    fwd = jax.jit(lambda q, a, c: _forward_call(q, a, c, ts, False))
-    packed = fwd(qt, starts, tcounts)
-    print(f"fwd kernel:        {timeit(fwd, qt, starts, tcounts):7.2f} ms")
+    fwd = jax.jit(lambda pr, a, c: _forward_call(
+        pr, a, c, ntx, nty, ts, False))
+    packed = fwd(pair_rows, astart, binning.tile_count)
+    print(f"fwd kernel:        {timeit(fwd, pair_rows, astart, binning.tile_count):7.2f} ms")
 
     cot = jnp.ones_like(packed)
-    bwd = jax.jit(lambda q, a, c, pk, ct: _backward_call(
-        q, a, c, pk, ct, ts, False))
-    moments = bwd(qt, starts, tcounts, packed, cot)
-    print(f"bwd kernel:        {timeit(bwd, qt, starts, tcounts, packed, cot):7.2f} ms")
+    bwd = jax.jit(lambda pr, a, c, pk, ct: _backward_call(
+        pr, a, c, pk, ct, ntx, nty, ts, False))
+    dpair = bwd(pair_rows, astart, binning.tile_count, packed, cot)
+    print(f"bwd kernel:        {timeit(bwd, pair_rows, astart, binning.tile_count, packed, cot):7.2f} ms")
 
     # VJP of the row gather = scatter-add of pair grad rows onto fields.
     def gather_loss(f, pg, ct):
         rows = jnp.concatenate(
-            [jnp.zeros((1, 9), f.dtype), f], axis=0)[pg + 1]
+            [jnp.zeros((1, NUM_FIELDS), f.dtype), f], axis=0)[pg]
         return jnp.vdot(rows, ct)
     sadd = jax.jit(jax.grad(gather_loss, argnums=0))
-    _ = sadd(fields, binning.pair_gauss, moments)
-    print(f"row scatter-add:   {timeit(sadd, fields, binning.pair_gauss, moments):7.2f} ms")
+    _ = sadd(fields, pg_padded, dpair)
+    print(f"row scatter-add:   {timeit(sadd, fields, pg_padded, dpair):7.2f} ms")
 
     # Full forward / full fwd+bwd for reference.
     bg = jnp.zeros(3)
@@ -117,7 +126,7 @@ def main():
     full = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
     _ = full(means, scales, quats, opac, sh)
     print(f"FULL fwd+bwd:      {timeit(full, means, scales, quats, opac, sh):7.2f} ms")
-    print(f"num_pairs: {int(binning.num_pairs)}")
+    print(f"num_pairs: {int(total)}")
 
 
 if __name__ == "__main__":

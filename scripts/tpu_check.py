@@ -38,8 +38,6 @@ def main():
     # the Mosaic-compiled Pallas path under test is identical either way.
     ap.add_argument("--gaussians", type=int, default=50_000)
     ap.add_argument("--size", type=int, default=256)
-    ap.add_argument("--interpret", action="store_true",
-                    help="interpreter-mode kernels (CPU smoke of this check)")
     args = ap.parse_args()
 
     means, scales, quats, opac, sh, camera = make_scene(
@@ -52,8 +50,7 @@ def main():
     # (capacity/chunk scan steps × num_tiles × pixels), so it can't be
     # arbitrarily large either — 4096 fits the 16G v5e-lite with room.
     cfg = RasterizeConfig(
-        pair_budget=1 << 18, tile_capacity=4096, backend="pallas",
-        pallas_interpret=args.interpret,
+        pair_budget=1 << 18, tile_capacity=4096, backend="pallas"
     )
 
     def loss_of(backend):
@@ -80,50 +77,15 @@ def main():
     img_p, val_p, g_p = loss_of("pallas")
     img_x, val_x, g_x = loss_of("xla")
 
-    # Fused in-kernel gradient accumulation vs the unfused pallas path: same
-    # moments/map, only the per-gaussian accumulation order differs — the
-    # gate is fp32-accumulation-tight.
-    def loss_fused():
-        c = dataclasses.replace(cfg, backend="pallas", fused_bwd_accum=True)
-
-        def f(means, scales, quats, opac, sh):
-            out = render_gaussians(means, scales, quats, opac, sh, camera, c)
-            img = out["image"]
-            w = jax.random.normal(jax.random.PRNGKey(0), img.shape)
-            wt = jax.random.normal(jax.random.PRNGKey(1), out["final_t"].shape)
-            return jnp.sum(img * w) + jnp.sum(out["final_t"] * wt)
-
-        return jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2, 3, 4)))(
-            means, scales, quats, opac, sh
-        )
-
-    try:
-        _, g_f = loss_fused()
-        fused = {"lowered": True, "grads": {}}
-        fused_ok = True
-        for name, a, b in zip(
-            ["means3d", "scales", "quats", "opacity", "sh"], g_f, g_p
-        ):
-            d = float(jnp.abs(a - b).max())
-            s = float(jnp.abs(b).max()) + 1e-12
-            fused["grads"][name] = {"max_abs_diff": d, "max_abs_grad": s}
-            fused_ok = fused_ok and d <= 1e-3 * s
-        fused["pass"] = bool(fused_ok)
-    except Exception as e:  # Mosaic may reject the RMW accumulate
-        fused = {"lowered": False, "error": f"{type(e).__name__}: {e}"}
-
     names = ["means3d", "scales", "quats", "opacity", "sh"]
-    # Pass criteria are distributional, not max-based. The Pallas path
-    # evaluates the falloff via the expanded tile-local polynomial on the
-    # MXU while the XLA backend computes the direct quadratic, so alpha
-    # differs by ~1e-5 relative EVERYWHERE — pairs within that band of the
-    # α ≥ 1/255 / power ≤ 0 cuts flip inclusion between backends, and each
-    # flip perturbs the transmittance recurrence for every later pair in
-    # its tile (a bounded cascade). The CUDA reference has the same property
-    # vs any reimplementation of its thresholds with different rounding.
-    # Gates: the bulk of pixels/grads at polynomial-reassociation precision
-    # (p99.9 ≤ 1e-3·scale), flip-affected entries bounded (≤ 2% above
-    # 1e-4·scale), loss agreement to 1e-3 relative, plus a loose max bound.
+    # Pass criteria are distributional, not max-based: the two backends are
+    # separately compiled programs, so `power` differs by ~1 ulp per pixel and
+    # a gaussian sitting exactly on the α ≥ 1/255 or power ≤ 0 cut can flip
+    # inclusion, giving O(α_min·color) ≈ 3e-3 differences at a handful of
+    # pixels. That is inherent to threshold semantics (the CUDA reference has
+    # the same property vs any reimplementation), so the gate is: bulk of
+    # pixels/grads at fp32-accumulation precision (p99.9 ≤ 1e-4·scale) and
+    # flips rare (≤ 0.1% of entries above 1e-4·scale), plus a loose max bound.
     d_img = jnp.abs(img_p - img_x)
     img_scale = float(jnp.abs(img_x).max())
     report = {
@@ -139,10 +101,9 @@ def main():
         "grads": {},
     }
     ok = (
-        report["image_p999_abs_diff"] <= 1e-3 * img_scale
-        and report["image_mismatch_frac"] <= 2e-2
-        and report["image_max_abs_diff"] <= 0.05 * img_scale
-        and report["loss_rel_diff"] <= 1e-3
+        report["image_p999_abs_diff"] <= 1e-4 * img_scale
+        and report["image_mismatch_frac"] <= 1e-3
+        and report["image_max_abs_diff"] <= 0.02 * img_scale
     )
     for name, a, b in zip(names, g_p, g_x):
         d = jnp.abs(a - b)
@@ -155,13 +116,10 @@ def main():
         }
         report["grads"][name] = stats
         ok = ok and (
-            stats["p999_abs_diff"] <= 1e-3 * scale
-            and stats["mismatch_frac"] <= 2e-2
-            and stats["max_abs_diff"] <= 0.05 * scale
+            stats["p999_abs_diff"] <= 1e-4 * scale
+            and stats["mismatch_frac"] <= 1e-3
+            and stats["max_abs_diff"] <= 0.02 * scale
         )
-    # Informational: the fused path's lowering/parity does not gate the
-    # pallas-vs-xla pass verdict (it is off by default in production).
-    report["fused_bwd_accum"] = fused
     report["pass"] = bool(ok)
     line = json.dumps(report)
     print(line)

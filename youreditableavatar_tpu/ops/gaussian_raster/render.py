@@ -21,6 +21,7 @@ from jax import Array
 
 from youreditableavatar_tpu.ops.gaussian_raster.binning import bin_gaussians
 from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import (
+    NUM_FIELDS,
     assemble_image,
     composite_tiles_xla,
     gather_pair_data,
@@ -43,13 +44,6 @@ class RasterizeConfig:
     scale_mod: float = 1.0
     backend: str = "auto"
     pallas_interpret: bool = False  # run pallas kernels in interpreter mode
-    # Accumulate per-gaussian grads inside the backward kernel (VMEM table)
-    # instead of the XLA scatter-add epilogue. The (N+1, 16) accumulator is
-    # lane-padded by Mosaic to (N+1, 128) tiles — (N+1)·128·4 B of VMEM, 8×
-    # the naive size — so this only fits ~10-20k gaussians on a 16 MB-VMEM
-    # part; measure scripts/exp_vmem_scatter.py on the target before
-    # enabling. Off by default.
-    fused_bwd_accum: bool = False
 
 
 def _resolve_backend(backend: str) -> str:
@@ -58,10 +52,30 @@ def _resolve_backend(backend: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
-def build_fields_ext(proj):
-    """(N+1, 9) per-gaussian field rows [mean_x, mean_y, conic_a/b/c,
-    opacity, r, g, b] with a zero row 0 — THE column layout the pallas
-    kernels index; both backend branches must share it."""
+def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
+    """Chunk-aligned pair-row layout + aligned starts for the Pallas kernels.
+
+    Index-side padding: scatter (gaussian+1) ids into the chunk-aligned
+    layout (cheap 1-D scatter), then ONE row gather from fields with a zero
+    row prepended — padding slots hit row 0 (inert: alpha 0), and the
+    gather's VJP is ONE row scatter-add whose padding-slot garbage lands in
+    the zero row and is sliced off by concatenate's VJP. Gather/scatter run
+    ~3 GB/s on TPU regardless of row width, so the design minimizes the
+    NUMBER of row-indexed ops (one per direction). The kernels consume the
+    row-major layout through a flat (P·16/128, 128) view — no transpose is
+    ever materialized.
+
+    Returns (pair_rows (P_pad, NUM_FIELDS), aligned_starts (T,)).
+    """
+    from youreditableavatar_tpu.ops.gaussian_raster.binning import (
+        pad_tile_ranges,
+    )
+    from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
+        CHUNK,
+    )
+
+    padded_size = pair_budget + ntx * nty * CHUNK
+    dst, astart, _total = pad_tile_ranges(binning, CHUNK, padded_size)
     fields = jnp.stack(
         [
             proj.mean2d[:, 0], proj.mean2d[:, 1],
@@ -71,32 +85,23 @@ def build_fields_ext(proj):
         ],
         axis=1,
     )
-    return jnp.concatenate(
+    fields_ext = jnp.concatenate(
         [jnp.zeros((1, 9), fields.dtype), fields], axis=0
     )
-
-
-def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
-    """Pair-row layout for the Pallas kernels — the sort order directly.
-
-    The kernels consume `bin_gaussians`' (tile, depth)-sorted pair list with
-    NO chunk-alignment padding (row-major (P, 16) coefficient blocks DMA
-    from arbitrary row starts; boundary rows are masked/owned in-kernel), so
-    the only indexed op here is ONE row gather from fields — whose VJP is
-    ONE row scatter-add (CUDA atomicAdd's role). Indexed ops run ~3 GB/s on
-    TPU regardless of table size, so P-sized index-op COUNT is the currency.
-
-    Culled/overflow pairs (sentinel tile, sorted to the end) gather real
-    field rows; the kernels never visit them and the backward masks their
-    gradients by tile id.
-
-    Returns (pair_rows (P, 9), pair_tiles (P,), starts (T,)).
-    """
-    return (
-        build_fields_ext(proj)[binning.pair_gauss + 1],
-        binning.pair_tile,
-        binning.tile_start,
+    pg_padded = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
+        binning.pair_gauss + 1, mode="drop"
     )
+    # Gather only the 9 live columns, pad to the kernel's 16-field row width
+    # with a (cheap, bandwidth-only) broadcast concat: indexed-op cost scales
+    # with row width, and the VJP becomes a 9-wide scatter-add.
+    pair_rows = jnp.concatenate(
+        [
+            fields_ext[pg_padded],
+            jnp.zeros((padded_size, NUM_FIELDS - 9), fields.dtype),
+        ],
+        axis=1,
+    )
+    return pair_rows, astart
 
 
 def render_gaussians_checked(
@@ -201,26 +206,16 @@ def render_gaussians(
         rgb_tiles, t_tiles = composite_tiles_xla(
             pair_data, ntx, nty, ts, cfg.chunk
         )
-    elif backend == "pallas" and cfg.fused_bwd_accum:
-        from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
-            composite_tiles_pallas_fused,
-        )
-
-        rgb_tiles, t_tiles = composite_tiles_pallas_fused(
-            build_fields_ext(proj), binning.pair_gauss, binning.pair_tile,
-            binning.tile_start, binning.tile_count,
-            ntx, nty, ts, cfg.pallas_interpret,
-        )
     elif backend == "pallas":
         from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
             composite_tiles_pallas,
         )
 
-        pair_rows, pair_tiles, astart = build_pallas_pair_rows(
+        pair_rows, astart = build_pallas_pair_rows(
             proj, binning, ntx, nty, cfg.pair_budget
         )
         rgb_tiles, t_tiles = composite_tiles_pallas(
-            pair_rows, pair_tiles, astart, binning.tile_count,
+            pair_rows, astart, binning.tile_count,
             ntx, nty, ts, cfg.pallas_interpret,
         )
     else:

@@ -125,12 +125,12 @@ def main():
         # the second for the step's own outputs (their layouts/shardings can
         # differ from the host-committed arrays → a second executable; over
         # the axon tunnel that compile is ~45 s and must not be timed).
-        p2, opt, loss = step(p2, opt, batch)
-        p2, opt, loss = step(p2, opt, batch)
+        p2, opt, loss, _ = step(p2, opt, batch)
+        p2, opt, loss, _ = step(p2, opt, batch)
         jax.block_until_ready(p2)
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            p2, opt, loss = step(p2, opt, batch)
+            p2, opt, loss, _ = step(p2, opt, batch)
         jax.block_until_ready(p2)
         dt = (time.perf_counter() - t0) / ITERS
         rays = data * H * W / dt

@@ -314,3 +314,75 @@ class TestCheckpointFidelity:
         expect_y = np.where(np.arange(half) % 2 == 0, np.sin(ang),
                             np.cos(ang))
         np.testing.assert_allclose(e[:half], expect_y, atol=1e-6)
+
+
+class TestWordPiece:
+    """Vendored WordPiece tokenizer vs transformers.BertTokenizer on the
+    SAME local vocab file — parity on ids, masks, and piece strings."""
+
+    VOCAB = [
+        "[PAD]", "[unused0]", "[CLS]", "[SEP]", "[MASK]", "[UNK]",
+        ".", ",", "!", "-", "'",
+        "a", "the", "man", "woman", "with", "red", "hair", "hat",
+        "wear", "green", "jacket", "shirt", "blue", "short", "and",
+        "##s", "##ing", "##ed", "##er", "##iz", "##ation",
+        "person", "beard", "glasses", "long", "do", "über", "naive",
+    ]
+
+    @pytest.fixture(scope="class")
+    def pair(self, tmp_path_factory):
+        from transformers import BertTokenizer
+
+        from youreditableavatar_tpu.guidance.wordpiece import (
+            WordPieceTokenizer,
+        )
+
+        path = tmp_path_factory.mktemp("vocab") / "vocab.txt"
+        path.write_text("\n".join(self.VOCAB), encoding="utf-8")
+        ours = WordPieceTokenizer(str(path), max_len=32)
+        theirs = BertTokenizer(str(path), do_lower_case=True)
+        return ours, theirs
+
+    PROMPTS = [
+        "a man with red hairs.",
+        "The woman wearing a green jacket and blue shorts!",
+        "person with long beard, glasses.",
+        "wearers doing normalization",          # multi-piece + [UNK] word
+        "über-naïve Hats",            # accents strip + punct split
+        "hat.hat,hat",                           # punctuation boundaries
+        "",
+    ]
+
+    @pytest.mark.parametrize("prompt", PROMPTS)
+    def test_matches_transformers(self, pair, prompt):
+        ours, theirs = pair
+        assert ours.tokenize(prompt) == theirs.tokenize(prompt)
+        tok, mask = ours(prompt)
+        ref = theirs(prompt)["input_ids"]
+        n = int(mask.sum())
+        assert tok[:n].tolist() == ref
+        assert not tok[n:].any() and not mask[n:].any()
+
+    def test_truncation(self, pair):
+        ours, _ = pair
+        tok, mask = ours("hat " * 100)
+        assert int(mask.sum()) == 32  # max_len incl [CLS]/[SEP]
+        assert tok[31] == self.VOCAB.index("[SEP]")
+
+    def test_plugs_into_grounder(self, pair, params):
+        from youreditableavatar_tpu.guidance.wordpiece import (
+            WordPieceTokenizer,
+        )
+
+        ours, _ = pair
+        # DinoGrounder consumes the (tok, mask) tuple; vocab ids above are
+        # < TEST_GDINO.vocab so embedding lookups stay in range. max_len
+        # must match the model config's padded text length.
+        tok = WordPieceTokenizer(
+            ours.vocab, max_len=TEST_GDINO.max_text_len
+        )
+        g = DinoGrounder(params, TEST_GDINO, tokenizer=tok)
+        img = np.random.default_rng(1).uniform(0, 1, (64, 64, 3))
+        box = g.ground(img.astype(np.float32), "a man with red hair")
+        assert box.shape == (4,)
+        assert np.all(box >= 0) and box[2] <= 64 and box[3] <= 64

@@ -110,7 +110,7 @@ class TestShardedTrainStep:
             binding, tx, cfg, mesh, H, W, bg=jnp.zeros(3)
         )
         batch = make_batch(cams, images)
-        p2, _, loss = step(params, tx.init(params), batch)
+        p2, _, loss, _overflow = step(params, tx.init(params), batch)
 
         np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
         for a, b in zip(
@@ -149,7 +149,7 @@ class TestShardedTrainStep:
             binding, tx, cfg, mesh, H, W, bg=jnp.zeros(3)
         )
         batch = make_batch(cams[:2], images[:2])
-        p2, _, loss = step(params, tx.init(params), batch)
+        p2, _, loss, _overflow = step(params, tx.init(params), batch)
 
         np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
         opt_ref = tx.init(params)
@@ -176,7 +176,7 @@ class TestShardedTrainStep:
         losses = []
         p = params
         for _ in range(5):
-            p, opt_state, loss = step(p, opt_state, batch)
+            p, opt_state, loss, _ = step(p, opt_state, batch)
             losses.append(float(loss))
         assert losses[-1] < losses[0]
 
@@ -188,7 +188,7 @@ class TestShardedTrainStep:
         step = make_sharded_render_train_step(
             binding, tx, cfg, mesh, H, W, bg=jnp.zeros(3)
         )
-        p2, _, _ = step(params, tx.init(params), make_batch(cams, images))
+        p2, _, _, _ = step(params, tx.init(params), make_batch(cams, images))
         for leaf in jax.tree_util.tree_leaves(p2):
             assert np.isfinite(np.asarray(leaf)).all()
 

@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--dino-weights", default=None,
                    help="official groundingdino_swint_ogc.pth (with "
                         "--segmenter sam: text-grounded boxes)")
+    p.add_argument("--dino-vocab", default=None,
+                   help="BERT vocab.txt for the WordPiece tokenizer "
+                        "(default: vocab.txt next to --dino-weights)")
     args = p.parse_args(argv)
 
     from youreditableavatar_tpu.utils.misc import apply_platform_env
@@ -45,7 +48,8 @@ def main(argv=None):
         seg_prompt=args.seg_prompt, fit_iters=args.iters,
         segmenter=make_segmenter_backend(
             args.segmenter, args.sam_weights,
-            dino_weights=args.dino_weights),
+            dino_weights=args.dino_weights,
+            dino_vocab=args.dino_vocab),
     )
     print(arts)
 

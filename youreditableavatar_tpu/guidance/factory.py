@@ -182,6 +182,7 @@ def make_segmenter_backend(
     weights_path: Optional[str] = None,
     seed: int = 0,
     dino_weights: Optional[str] = None,
+    dino_vocab: Optional[str] = None,
 ):
     """Build a `Segmenter` for region localization (LangSAM's role).
 
@@ -251,8 +252,33 @@ def make_segmenter_backend(
             sd = torch.load(dino_weights, map_location="cpu",
                             weights_only=False)
             sd = sd.get("model", sd)
+            # Real checkpoints need the real BERT WordPiece tokenizer:
+            # use --dino-vocab, or a vocab.txt sitting next to the weights
+            # (the official checkpoint layout). Falls back to the hash
+            # stand-in (ids will NOT match BERT training) with a warning.
+            tokenizer = None
+            vocab = dino_vocab or os.path.join(
+                os.path.dirname(dino_weights) or ".", "vocab.txt"
+            )
+            if os.path.exists(vocab):
+                from youreditableavatar_tpu.guidance.wordpiece import (
+                    WordPieceTokenizer,
+                )
+
+                tokenizer = WordPieceTokenizer(
+                    vocab, max_len=SWIN_T_GDINO.max_text_len
+                )
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"no BERT vocab.txt found for GroundingDINO (looked at "
+                    f"{vocab!r}); falling back to the hash tokenizer — "
+                    f"grounding quality will be poor with real weights"
+                )
             grounder = DinoGrounder(
                 convert_torch_gdino(sd, SWIN_T_GDINO), SWIN_T_GDINO,
+                tokenizer=tokenizer,
                 box_threshold=0.35, image_size=800,
             )
         return SAMSegmenter.from_torch_file(weights_path, cfg,

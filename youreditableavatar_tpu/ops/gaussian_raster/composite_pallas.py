@@ -487,8 +487,11 @@ def composite_tiles_pallas(
       rgb: (T, 3, PIX); final_t: (T, PIX).
 
     The gradient w.r.t. pair_rows holds garbage in padding rows (the
-    backward kernels visit whole chunks); callers must only read real-pair
-    rows — the VJP of `scatter_pair_rows` does exactly that.
+    backward kernel visits whole chunks, and rows beyond the last tile's
+    aligned range are never written at all); callers must only read
+    real-pair rows. `build_pallas_pair_rows` guarantees this: its padding
+    slots index the prepended zero field row, so the gather's VJP
+    scatter-adds every padding/garbage gradient into that discarded row.
     """
     out, _ = _composite_fwd(
         pair_rows, starts, counts,

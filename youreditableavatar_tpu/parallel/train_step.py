@@ -126,6 +126,7 @@ def _render_tile_sharded(
             pair_rows, astart, binning.tile_count,
             ntx, rows_loc, ts, cfg.pallas_interpret,
         )
+        tile_overflow = jnp.int32(0)  # pallas path composites uncapped
     elif backend == "xla":
         if num_tiles % tile_axis_size != 0:
             raise ValueError(
@@ -137,6 +138,13 @@ def _render_tile_sharded(
         binning = jax.tree_util.tree_map(jax.lax.stop_gradient, binning)
         my = jax.lax.axis_index(tile_axis) * t_loc + jnp.arange(
             t_loc, dtype=jnp.int32
+        )
+        # Tiles beyond tile_capacity silently lose their deepest pairs —
+        # count them (same diagnostic as render.py's num_tile_overflow) so
+        # the train step can surface truncation instead of diverging from
+        # the uncapped Pallas path without a trace.
+        tile_overflow = jnp.sum(
+            (binning.tile_count[my] > cfg.tile_capacity).astype(jnp.int32)
         )
         pair_local = gather_pair_data(
             proj.mean2d, proj.conic, proj.color, proj.opacity,
@@ -156,7 +164,7 @@ def _render_tile_sharded(
     img, final_t = assemble_image(
         rgb, t_all, ntx, nty, ts, camera.width, camera.height
     )
-    return img + final_t[..., None] * bg
+    return img + final_t[..., None] * bg, tile_overflow
 
 
 def make_sharded_render_train_step(
@@ -176,7 +184,9 @@ def make_sharded_render_train_step(
     The returned step takes (params, opt_state, batch) where batch holds
     stacked per-view arrays sharded over `data_axis` on axis 0:
       viewmats (B, 4, 4), fx/fy/cx/cy (B,), images (B, H, W, 3);
-    B = data-axis size × views-per-shard. Returns (params, opt_state, loss).
+    B = data-axis size × views-per-shard. Returns (params, opt_state, loss,
+    num_tile_overflow) — the last is the () int32 count of tiles truncated
+    by `tile_capacity` this step (xla backend only; always 0 on pallas).
     """
     if bg is None:
         bg = jnp.zeros(3)
@@ -189,23 +199,32 @@ def make_sharded_render_train_step(
                 width=width, height=height,
             )
             means, scales, quats, opac, sh = gaussian_arrays(binding, params)
-            img = _render_tile_sharded(
+            img, overflow = _render_tile_sharded(
                 means, scales, quats, opac, sh, cam, cfg, bg,
                 tile_axis, tile_size_axis,
             )
-            return l1_dssim(img, images[i], dssim_factor)
+            return l1_dssim(img, images[i], dssim_factor), overflow
 
         def total_loss(params):
             n_local = viewmats.shape[0]
-            losses = [view_loss(params, i) for i in range(n_local)]
-            return jnp.mean(jnp.stack(losses))
+            losses, overflows = zip(
+                *(view_loss(params, i) for i in range(n_local))
+            )
+            return jnp.mean(jnp.stack(losses)), sum(overflows)
 
-        loss, grads = jax.value_and_grad(total_loss)(params)
+        (loss, overflow), grads = jax.value_and_grad(
+            total_loss, has_aux=True
+        )(params)
         grads = jax.lax.pmean(grads, (data_axis, tile_axis))
         loss = jax.lax.pmean(loss, (data_axis, tile_axis))
+        # Total capacity-truncated tiles this step, across all views and
+        # tile shards (tile shards count disjoint tiles — sum, not mean).
+        overflow = jax.lax.psum(
+            jax.lax.psum(overflow, tile_axis), data_axis
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss, overflow
 
     from jax import shard_map
 
@@ -217,7 +236,7 @@ def make_sharded_render_train_step(
             P(data_axis), P(data_axis), P(data_axis), P(data_axis),
             P(data_axis), P(data_axis),
         ),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
 

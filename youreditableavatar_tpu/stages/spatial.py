@@ -380,6 +380,11 @@ class HumanEditTrainer:
             # Progressive hash-grid band (`networks.py:97-106`).
             lm = field.level_mask(global_step)
 
+            # Independent streams for the SDS noise draw and the recon/
+            # control point sampling — reusing one key correlates the
+            # guidance noise with the loss-sampling sites every step.
+            key_sds, key_pts = jax.random.split(key)
+
             def loss_fn(p):
                 mt = geometry.part_isosurface(p, part, level_mask=lm)
                 maps = render_part_maps(
@@ -391,7 +396,7 @@ class HumanEditTrainer:
                     else maps["local_comp_normal"]
                 )
                 sds = guidance(
-                    normal_img[None], cond, uncond, key, min_t, max_t
+                    normal_img[None], cond, uncond, key_sds, min_t, max_t
                 )
                 loss = weights["sds"] * sds["loss_sds"]
 
@@ -399,7 +404,7 @@ class HumanEditTrainer:
                 # frozen field (`humanedit.py:198-204`, `forward_field`
                 # recon branch).
                 k_idx = jax.random.randint(
-                    key, (cfg.recon_points,), 0, nv
+                    key_pts, (cfg.recon_points,), 0, nv
                 )
                 live = field.forward_sdf(p, grid_pos[k_idx], level_mask=lm)
                 frozen = self.recon_sdf[k_idx]

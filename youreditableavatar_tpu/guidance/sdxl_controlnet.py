@@ -109,7 +109,13 @@ def init_controlnet_union_params(
             "b": init_conv(next(ks), 3, 3, cfg.cond_embed_chans[i],
                            cfg.cond_embed_chans[i + 1]),
         })
-    ce["conv_out"] = _zero_conv(cfg.cond_embed_chans[-1], u.base)
+    # Reference conv_out is a zero-init 3x3 (controlnet_union.py:137-139),
+    # unlike the 1x1 controlnet_down_blocks zero convs.
+    ce["conv_out"] = {
+        "w": jnp.zeros((3, 3, cfg.cond_embed_chans[-1], u.base),
+                       jnp.float32),
+        "b": jnp.zeros((u.base,), jnp.float32),
+    }
     p["cond_embed"] = ce
 
     # union fuser
@@ -234,8 +240,16 @@ def apply_controlnet_union(
         tokens.append(feat.mean(axis=(1, 2)) + params["task_emb"][idx])
     tokens.append(sample.mean(axis=(1, 2)))
     x = jnp.stack(tokens, axis=1)  # (B, n_controls+1, base)
+    # The vendored model feeds this (N, L, C) tensor straight into
+    # `nn.MultiheadAttention` blocks with the default batch_first=False
+    # (`controlnet_union.py:65-86,877`), which interprets dim 0 as the
+    # SEQUENCE — i.e. attention runs across the batch, batched over the
+    # token slots. Checkpoint fidelity means reproducing that exactly, so
+    # swap axes around the fuser to put the batch on the attention axis.
+    x = jnp.swapaxes(x, 0, 1)  # (L, B, C): attend over B per token slot
     for blk in params["fuser"]:
         x = _fuser_block(x, blk, cfg.fuser_heads)
+    x = jnp.swapaxes(x, 0, 1)  # back to (B, L, C)
     fused = jnp.zeros_like(sample)
     for i, feat in enumerate(cond_feats):
         alpha = linear(x[:, i], params["spatial_proj"])

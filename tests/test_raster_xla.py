@@ -239,3 +239,32 @@ class TestCheckedRender:
         snap = np.load(tmp_path / "snap.npz")
         assert snap["means3d"].shape == means.shape
         assert np.isnan(snap["colors_override"][0]).any()
+
+
+class TestRectModes:
+    """The reference-faithful 3σ getRect mode (`forward.cu:336-374`)."""
+
+    def test_3sigma_matches_oracle(self, scene):
+        means, scales, quats, opac, colors, viewmat, cam, bg = scene
+        got = run_xla(scene, rect_mode="3sigma")
+        ref = render_oracle(
+            means, scales, quats, opac, colors, viewmat,
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height, bg,
+            rect_mode="3sigma",
+        )
+        np.testing.assert_allclose(
+            got["image"], ref["image"], atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(
+            got["final_t"], ref["final_t"], atol=1e-5, rtol=1e-4)
+
+    def test_mode_divergence_is_tail_only(self, scene):
+        """support vs 3sigma differ only where the α-support extends past
+        the 3σ rect — a small, bounded tail contribution."""
+        got_s = run_xla(scene)
+        got_3 = run_xla(scene, rect_mode="3sigma")
+        d = np.abs(got_s["image"] - got_3["image"])
+        # Bounded: tail pixels have α ∈ [1/255, op·e^{-4.5}); with op ≤ .95
+        # a single splat's clipped tail contributes < ~1.5e-2 to a pixel.
+        assert float(d.max()) < 5e-2
+        # And the modes DO differ somewhere (the clip is real).
+        assert float(d.max()) > 0.0

@@ -52,8 +52,15 @@ def render_oracle(
     height: int,
     bg: np.ndarray,
     tile_size: int = 32,
+    rect_mode: str = "support",
 ) -> Dict[str, np.ndarray]:
-    """Render with precomputed colors (SH evaluated separately if needed)."""
+    """Render with precomputed colors (SH evaluated separately if needed).
+
+    rect_mode: "support" (α ≥ 1/255 support bbox, the repo's default
+    convention) or "3sigma" (the CUDA reference's getRect square from the
+    integer ceil(3σ_max) radius, `forward.cu:336-374` — pairs only for
+    tiles overlapping that square, hard-clipping the α-support tail).
+    """
     n = means3d.shape[0]
     W = viewmat[:3, :3]
     t = means3d @ W.T + viewmat[:3, 3]
@@ -97,11 +104,18 @@ def render_oracle(
 
     # Binning: duplicate (gaussian, tile) pairs, sort by (tile, depth, gauss).
     pairs = []
-    # Per-axis bbox of the α ≥ 1/255 support — matches preprocess.py. Any
-    # superset rect yields identical images (the α-mask zeroes the rest).
-    two_l = 2.0 * np.log(np.maximum(255.0 * opacities, 1e-6))
-    rx = np.sqrt(np.maximum(two_l, 0.0) * np.abs(a))
-    ry = np.sqrt(np.maximum(two_l, 0.0) * np.abs(c))
+    if rect_mode == "3sigma":
+        # getRect square from the integer radius; no opacity gating.
+        rx = radius.astype(np.float64)
+        ry = rx
+        two_l = np.where(radius > 0, 1.0, -1.0)  # gate on radius only
+    else:
+        # Per-axis bbox of the α ≥ 1/255 support — matches preprocess.py.
+        # Any superset rect yields identical images (the α-mask zeroes the
+        # rest).
+        two_l = 2.0 * np.log(np.maximum(255.0 * opacities, 1e-6))
+        rx = np.sqrt(np.maximum(two_l, 0.0) * np.abs(a))
+        ry = np.sqrt(np.maximum(two_l, 0.0) * np.abs(c))
     for g in range(n):
         if radius[g] <= 0 or two_l[g] <= 0:
             continue

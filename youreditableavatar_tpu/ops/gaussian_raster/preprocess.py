@@ -42,6 +42,7 @@ def preprocess_gaussians(
     scale_mod: float = 1.0,
     colors_override: Optional[Array] = None,
     cov3d_override: Optional[Array] = None,
+    rect_mode: str = "support",
 ) -> GaussiansProjected:
     """Project N Gaussians into screen space for one camera.
 
@@ -56,7 +57,13 @@ def preprocess_gaussians(
       tile_size: pixel tile edge for binning rectangles.
       colors_override: (N, 3) precomputed colors instead of SH evaluation.
       cov3d_override: (N, 6) precomputed 3D covariances.
+      rect_mode: "support" (default, α ≥ 1/255 support bbox — exact, see
+        below) or "3sigma" (reference-faithful `getRect` square from the
+        integer ceil(3σ_max) radius, `forward.cu:336-374` — hard-clips the
+        α-support tail beyond 3σ exactly like the CUDA rasterizer).
     """
+    if rect_mode not in ("support", "3sigma"):
+        raise ValueError(f"unknown rect_mode {rect_mode!r}")
     t = view_transform_points(means3d, camera.viewmat)
     depth = t[..., 2]
     in_front = depth > NEAR_PLANE
@@ -100,10 +107,21 @@ def preprocess_gaussians(
     # Unlike the reference's hard 3σ cut, the full α ≥ 1/255 support
     # renders (tails out to ~3.3σ for op ≈ 1).
     pix = mean2d
-    two_l = 2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1e-6))
-    gate = (radius > 0) & (two_l > 0.0)
-    rx = jnp.where(gate, jnp.sqrt(two_l * jnp.abs(cov2d[..., 0])), 0.0)
-    ry = jnp.where(gate, jnp.sqrt(two_l * jnp.abs(cov2d[..., 2])), 0.0)
+    if rect_mode == "3sigma":
+        # Reference getRect: square of half-width = the integer radius
+        # ceil(3σ_max); no opacity-support gating (only radius > 0). The
+        # compositing α ≥ 1/255 test still runs per pixel, but pixels whose
+        # tile falls outside this square are hard-clipped exactly as in
+        # `forward.cu:336-374` — for op ≈ 1 the α-support extends to ~3.3σ
+        # and the tail beyond the 3σ rect is dropped.
+        gate = radius > 0
+        rx = jnp.where(gate, radius.astype(jnp.float32), 0.0)
+        ry = rx
+    else:
+        two_l = 2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1e-6))
+        gate = (radius > 0) & (two_l > 0.0)
+        rx = jnp.where(gate, jnp.sqrt(two_l * jnp.abs(cov2d[..., 0])), 0.0)
+        ry = jnp.where(gate, jnp.sqrt(two_l * jnp.abs(cov2d[..., 2])), 0.0)
     rect_min_x = jnp.clip(((pix[..., 0] - rx) / tile_size), 0, ntx).astype(jnp.int32)
     rect_min_y = jnp.clip(((pix[..., 1] - ry) / tile_size), 0, nty).astype(jnp.int32)
     rect_max_x = jnp.clip(

@@ -44,6 +44,12 @@ class RasterizeConfig:
     scale_mod: float = 1.0
     backend: str = "auto"
     pallas_interpret: bool = False  # run pallas kernels in interpreter mode
+    # "support" = exact α ≥ 1/255 support bbox (default; renders the full
+    # tail). "3sigma" = reference-faithful getRect square from the integer
+    # 3σ radius (forward.cu:336-374) — hard-clips the tail beyond 3σ
+    # exactly like the CUDA rasterizer. See RECT_DIVERGENCE.json for the
+    # measured image/grad divergence between the modes.
+    rect_mode: str = "support"
 
 
 def _resolve_backend(backend: str) -> str:
@@ -185,6 +191,7 @@ def render_gaussians(
         means3d, scales, quats, opacities,
         sh if sh is not None else jnp.zeros((means3d.shape[0], 1, 3)),
         camera, cfg.sh_degree, ts, cfg.scale_mod, colors_override,
+        rect_mode=cfg.rect_mode,
     )
 
     binning = bin_gaussians(proj, ntx, nty, cfg.pair_budget, ts)

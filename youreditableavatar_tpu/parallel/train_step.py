@@ -98,7 +98,7 @@ def _render_tile_sharded(
 
     proj = preprocess_gaussians(
         means, scales, quats, opac, sh, camera, cfg.sh_degree, ts,
-        cfg.scale_mod,
+        cfg.scale_mod, rect_mode=cfg.rect_mode,
     )
 
     if backend == "pallas":

@@ -386,3 +386,108 @@ class TestWordPiece:
         box = g.ground(img.astype(np.float32), "a man with red hair")
         assert box.shape == (4,)
         assert np.all(box >= 0) and box[2] <= 64 and box[3] <= 64
+
+
+class TestMSDeformAttnTorchParity:
+    """Full ms_deform_attn vs a transcription of the official
+    `multi_scale_deformable_attn_pytorch` (grid_sample per level) plus the
+    official sampling-location rules — any drift in offsets/softmax/
+    sampling/projection layout fails here."""
+
+    @staticmethod
+    def _torch_msda(q_np, ref_np, val_np, shapes, p, heads, pts,
+                    ref_wh_np=None):
+        import torch
+        import torch.nn.functional as F
+
+        def lin(x, lp):
+            return x @ torch.from_numpy(np.asarray(lp["w"])) + \
+                torch.from_numpy(np.asarray(lp["b"]))
+
+        q = torch.from_numpy(q_np)
+        ref = torch.from_numpy(ref_np)
+        value = torch.from_numpy(val_np)
+        nq, d = q.shape
+        lv = len(shapes)
+        dh = d // heads
+        off = lin(q, p["sampling"]).reshape(nq, heads, lv, pts, 2)
+        aw = torch.softmax(
+            lin(q, p["attn_w"]).reshape(nq, heads, lv * pts), -1
+        ).reshape(nq, heads, lv, pts)
+        val = lin(value, p["value"]).reshape(1, -1, heads, dh)
+
+        # official sampling-location rule (ms_deform_attn.py)
+        if ref_wh_np is None:
+            wh = torch.tensor([[float(w), float(h)] for h, w in shapes])
+            loc = ref[None, :, None, None, None, :] + \
+                off[None] / wh[None, None, None, :, None, :]
+        else:
+            ref_wh = torch.from_numpy(ref_wh_np)
+            loc = ref[None, :, None, None, None, :] + \
+                off[None] / pts * ref_wh[None, :, None, None, None, :] * 0.5
+
+        # official multi_scale_deformable_attn_pytorch
+        bs = 1
+        value_list = val.split([h * w for h, w in shapes], dim=1)
+        grids = 2 * loc - 1
+        sampled = []
+        for li, (hl, wl) in enumerate(shapes):
+            v = value_list[li].flatten(2).transpose(1, 2).reshape(
+                bs * heads, dh, hl, wl)
+            g = grids[:, :, :, li].transpose(1, 2).flatten(0, 1)
+            sampled.append(F.grid_sample(
+                v, g, mode="bilinear", padding_mode="zeros",
+                align_corners=False))
+        aw_t = aw[None].transpose(1, 2).reshape(
+            bs * heads, 1, nq, lv * pts)
+        out = (torch.stack(sampled, dim=-2).flatten(-2) * aw_t).sum(
+            -1).view(bs, heads * dh, nq)
+        out = out.transpose(1, 2)[0]
+        return lin(out, p["output"]).numpy()
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from youreditableavatar_tpu.guidance.grounding_dino import (
+            _msda_init,
+        )
+
+        heads, pts, d = 2, 3, 16
+        shapes = [(6, 8), (3, 4)]
+        s_total = sum(h * w for h, w in shapes)
+        p = _msda_init(jax.random.PRNGKey(5), d, heads, len(shapes), pts)
+        # randomize biases too (init zeros them)
+        rng = np.random.default_rng(9)
+        p = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(
+                rng.normal(0, 0.2, np.shape(a)).astype(np.float32)), p)
+        q = rng.normal(size=(5, d)).astype(np.float32)
+        ref = rng.uniform(0.1, 0.9, (5, 2)).astype(np.float32)
+        val = rng.normal(size=(s_total, d)).astype(np.float32)
+        return p, q, ref, val, shapes, heads, pts
+
+    def test_point_reference(self, setup):
+        from youreditableavatar_tpu.guidance.grounding_dino import (
+            ms_deform_attn,
+        )
+
+        p, q, ref, val, shapes, heads, pts = setup
+        ours = np.asarray(ms_deform_attn(
+            jnp.asarray(q), jnp.asarray(ref), jnp.asarray(val), shapes,
+            p, heads, pts))
+        theirs = self._torch_msda(q, ref, val, shapes, p, heads, pts)
+        np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-4)
+
+    def test_box_reference(self, setup):
+        from youreditableavatar_tpu.guidance.grounding_dino import (
+            ms_deform_attn,
+        )
+
+        p, q, ref, val, shapes, heads, pts = setup
+        rng = np.random.default_rng(10)
+        wh = rng.uniform(0.1, 0.6, (5, 2)).astype(np.float32)
+        ours = np.asarray(ms_deform_attn(
+            jnp.asarray(q), jnp.asarray(ref), jnp.asarray(val), shapes,
+            p, heads, pts, ref_wh=jnp.asarray(wh)))
+        theirs = self._torch_msda(q, ref, val, shapes, p, heads, pts,
+                                  ref_wh_np=wh)
+        np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-4)

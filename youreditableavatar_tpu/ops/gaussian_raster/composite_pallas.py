@@ -379,15 +379,29 @@ def _backward_kernel(
         @pl.when(c_end < nchunks)
         def _():
             start_dma(c_end, jax.lax.rem(c_end, 2)).wait()  # drain in-flight
-            out_s[0, :, 0:9] = jnp.zeros((CHUNK, 9), jnp.float32)
+            # Early exit: all later pairs have zero gradient — stream zero
+            # blocks for the remaining chunks. Both out_s slots are already
+            # drained above, so zero BOTH up front and pipeline the DMAs
+            # with a lag-2 wait: a synchronous start()+wait() per 64 KB
+            # block stalls the loop on DMA latency (~2 ms at 512²/100k on
+            # early-out-heavy scenes).
+            out_s[:, :, 0:9] = jnp.zeros((2, CHUNK, 9), jnp.float32)
 
             def zero_chunk(c, _):
-                dma = grad_dma(c, 0)
-                dma.start()
-                dma.wait()
+                @pl.when(c - 2 >= c_end)
+                def _():
+                    grad_dma(c - 2, jax.lax.rem(c, 2)).wait()
+
+                grad_dma(c, jax.lax.rem(c, 2)).start()
                 return 0
 
             jax.lax.fori_loop(c_end, nchunks, zero_chunk, 0)
+
+            @pl.when(nchunks - 2 >= c_end)
+            def _():
+                grad_dma(nchunks - 2, jax.lax.rem(nchunks, 2)).wait()
+
+            grad_dma(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
 
     pl.run_scoped(
         scoped,

@@ -228,6 +228,59 @@ class TestHumanEditSmoke:
         )
         assert moved > 0
 
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        """Checkpoint at step 2 (mid-curriculum, past the control-SDF
+        snapshot boundary), restore into a FRESH trainer, finish training:
+        final params must match the uninterrupted run exactly (step-replay
+        on restore: level mask, schedules, control snapshot, RNG streams
+        all re-derived from the restored step)."""
+
+        def make_trainer():
+            field = small_field()
+            params = field.init_params(jax.random.PRNGKey(0))
+            geom = TetGeometry(field, resolution=10, budgets=SMALL_BUDGETS)
+            _, _, part = make_partitioned(field, geom, params)
+            prior = StubDiffusionPrior()
+            guidance = SDSGuidance(prior, SDSConfig(guidance_scale=7.5))
+            enc = StubPromptEncoder()
+            prompts = PromptProcessor(
+                "a red jacket", "low quality", enc,
+                cache_dir="/tmp/test_prompt_cache", model_name="stub-test",
+            )
+            cfg = HumanEditConfig(
+                max_steps=4,
+                camera=RandomCameraConfig(
+                    height=64, width=64, camera_distance_range=(1.6, 1.8),
+                    elevation_range=(-5, 10), fovy_range=(40, 45),
+                ),
+                recon_points=2048,
+                start_sdf_loss_step=1,
+            )
+            return HumanEditTrainer(
+                field, geom, part, params, guidance, prompts, prompts,
+                cfg, MESH_CFG,
+            )
+
+        key = jax.random.PRNGKey(1)
+        ref = make_trainer()
+        ref.train(key, num_steps=4)
+
+        a = make_trainer()
+        a.train(key, num_steps=2)
+        assert a.control_sdf is not None  # snapshot taken at step 1
+        ckpt = str(tmp_path / "resume_ckpt")
+        a.save_checkpoint(ckpt)
+
+        b = make_trainer()
+        b.restore_checkpoint(ckpt)
+        assert b.global_step == 2 and b.control_sdf is not None
+        b.train(key, num_steps=2)
+
+        for x, y in zip(jax.tree_util.tree_leaves(ref.params),
+                        jax.tree_util.tree_leaves(b.params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-6, rtol=1e-5)
+
     def test_image_guided_and_nc_sub(self, tmp_path):
         """use_additional_input losses + NC-sub switch + visual
         checkpoints + progressive level mask (VERDICT r1 items 6/7/9)."""

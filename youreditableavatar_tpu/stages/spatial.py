@@ -333,6 +333,7 @@ class HumanEditTrainer:
         self.prompts_global = prompts_global
         self.cfg = cfg
         self.mesh_cfg = mesh_cfg
+        self.seed = seed
         self.sampler = RandomCameraSampler(cfg.camera, seed=seed)
         self.rng = np.random.default_rng(seed)
         from youreditableavatar_tpu.utils.optim import parse_optimizer
@@ -472,12 +473,20 @@ class HumanEditTrainer:
     def train_step(self, key: jax.Array) -> Dict[str, float]:
         cfg = self.cfg
         step_i = self.global_step
+        # Per-step derived RNG streams (not a sequential stateful stream):
+        # every host-side random draw this step is a pure function of
+        # (seed, step), so a restored run at step k makes exactly the same
+        # draws as an uninterrupted one — the resume-replay counterpart of
+        # the reference's `do_update_step(..., on_load_weights=True)`
+        # (`utils/misc.py:32-62`).
+        step_rng = np.random.default_rng((self.seed, 1, step_i))
+        self.sampler.rng = np.random.default_rng((self.seed, 2, step_i))
         batch = self.sampler.sample(step_i)
         cam_l = batch.local[0].raster_camera()
         cam_g = batch.global_[0].raster_camera()
 
         w_local = C(cfg.lambda_sds, 0, step_i)
-        use_global = self.rng.random() >= w_local
+        use_global = step_rng.random() >= w_local
         prompts = (
             self.prompts_global
             if use_global and self.prompts_global is not None
@@ -519,7 +528,7 @@ class HumanEditTrainer:
         }
         # Image-guided editing: random front/back choice per step
         # (`humanedit.py:161-162`); flag 0 = front.
-        guide_flag = float(self.rng.integers(0, 2))
+        guide_flag = float(step_rng.integers(0, 2))
         h, w = cfg.camera.height, cfg.camera.width
         if cfg.use_additional_input and self.input_images is not None:
             img_n_spec = (
@@ -582,11 +591,58 @@ class HumanEditTrainer:
             )
         return rec
 
+    def save_checkpoint(self, path: str) -> None:
+        """Full resumable training state (params, opt_state, step, and the
+        control-SDF snapshot when it exists) — orbax, same layout as the
+        reference's Lightning ckpts (§5.4)."""
+        from youreditableavatar_tpu.utils.checkpoint import save_state
+
+        extra = {}
+        if self.control_sdf is not None:
+            extra["control_sdf"] = np.asarray(self.control_sdf)
+        save_state(path, self.params, self.opt_state,
+                   step=self.global_step, extra=extra or None)
+
+    def restore_checkpoint(self, path: str) -> None:
+        """Resume mid-curriculum with step-replay semantics.
+
+        Restores params/opt_state/step and re-derives every piece of
+        step-dependent state, mirroring the reference's
+        `do_update_step(epoch, step, on_load_weights=True)` replay
+        (`utils/misc.py:32-62`, `networks.py:97-106`):
+
+          * progressive hash-grid level mask — a pure function of the
+            restored `global_step`, recomputed inside the jitted step;
+          * all `C()` schedules and the timestep range — functions of step;
+          * host RNG draws — per-step derived streams (see `train_step`),
+            so no generator state needs restoring;
+          * the control-SDF snapshot — restored if it was taken, else (when
+            resuming from before `start_sdf_loss_step`) it will be taken at
+            the boundary exactly as in an uninterrupted run.
+        """
+        from youreditableavatar_tpu.utils.checkpoint import load_state
+
+        state = load_state(path)
+        self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+        if "opt_state" in state:
+            restored = jax.tree_util.tree_map(
+                jnp.asarray, state["opt_state"])
+            self.opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.opt_state),
+                jax.tree_util.tree_leaves(restored),
+            )
+        self.global_step = int(state["step"])
+        extra = state.get("extra") or {}
+        ctrl = extra.get("control_sdf") if isinstance(extra, dict) else None
+        self.control_sdf = np.asarray(ctrl) if ctrl is not None else None
+
     def train(self, key: jax.Array, num_steps: Optional[int] = None):
         n = num_steps or self.cfg.max_steps
-        keys = jax.random.split(key, n)
         for i in range(n):
-            self.train_step(keys[i])
+            # Key derived from the GLOBAL step (not the loop index): a
+            # restored run continues with exactly the keys an uninterrupted
+            # run would have used.
+            self.train_step(jax.random.fold_in(key, self.global_step))
             # UI progress line (reference gradio ProgressCallback,
             # `utils/callbacks.py:120-157`); None-safe no-op by default.
             if self.progress is not None and (

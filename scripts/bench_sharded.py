@@ -13,6 +13,7 @@ Prints one JSON line per mesh layout with rays/s and efficiency vs the
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -20,6 +21,13 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+# The image's sitecustomize force-registers the remote axon TPU backend and
+# overrides JAX_PLATFORMS from the environment — re-apply the env choice so
+# `JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8`
+# really runs the virtual CPU mesh (and doesn't steal the TPU claim).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 import numpy as np
 

@@ -33,49 +33,71 @@ from youreditableavatar_tpu.ops.gaussian_raster import (
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", type=str, default=None)
-    # 50k/256² (vs the bench's 100k/512²): the XLA backend's autodiff
-    # residuals at the full bench config exceed the 16G HBM of a v5e-lite —
-    # the Mosaic-compiled Pallas path under test is identical either way.
-    ap.add_argument("--gaussians", type=int, default=50_000)
-    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--gaussians", type=int, default=100_000)
+    ap.add_argument("--size", type=int, default=512)
+    # The XLA reference's autodiff residuals at 100k/512² exceed the 16G
+    # HBM of a v5e-lite in one piece, so the reference renders the image in
+    # `--strips` horizontal tile-aligned bands (a strip camera with
+    # cy' = cy − y0 renders exactly rows [y0, y0+hs) of the full image;
+    # binning and compositing per pixel are identical), each in its own jit
+    # so only one strip's residuals are live at a time; strip losses sum to
+    # the full loss, so strip grads sum to the full grads.
+    ap.add_argument("--strips", type=int, default=4)
     args = ap.parse_args()
 
     means, scales, quats, opac, sh, camera = make_scene(
         n=args.gaussians, width=args.size, height=args.size
     )
     # tile_capacity only bounds the XLA backend's per-tile pair list (the
-    # Pallas path has no cap); it must exceed the hottest tile (2638 at this
-    # config) or the XLA side silently truncates and the comparison is
-    # meaningless. The XLA backend's autodiff residuals scale with capacity
-    # (capacity/chunk scan steps × num_tiles × pixels), so it can't be
-    # arbitrarily large either — 4096 fits the 16G v5e-lite with room.
+    # Pallas path has no cap); it must exceed the hottest tile or the XLA
+    # side silently truncates and the comparison is meaningless. 8192
+    # matches the bench config; the strip-rendered reference keeps the
+    # residual footprint (capacity/chunk scan steps × strip tiles × pixels)
+    # inside the 16G v5e-lite.
     cfg = RasterizeConfig(
-        pair_budget=1 << 18, tile_capacity=4096, backend="pallas"
+        pair_budget=1 << 18, tile_capacity=8192, backend="pallas"
     )
+    # Weighted sums give every pixel a distinct cotangent so the backward
+    # path is exercised with non-uniform dL/dpixel.
+    wfull = jax.random.normal(jax.random.PRNGKey(0),
+                              (args.size, args.size, 3))
+    wtfull = jax.random.normal(jax.random.PRNGKey(1),
+                               (args.size, args.size))
 
-    def loss_of(backend):
+    def strip_camera(y0, hs):
+        return camera._replace(cy=camera.cy - y0, height=hs)
+
+    def loss_of(backend, strips):
         c = dataclasses.replace(cfg, backend=backend)
+        hs = args.size // strips
+        assert hs % cfg.tile_size == 0, "strips must be tile-aligned"
 
-        def f(means, scales, quats, opac, sh):
-            out = render_gaussians(means, scales, quats, opac, sh, camera, c)
-            # Weighted sums give every pixel a distinct cotangent so the
-            # backward path is exercised with non-uniform dL/dpixel.
-            img = out["image"]
-            key = jax.random.PRNGKey(0)
-            w = jax.random.normal(key, img.shape)
-            wt = jax.random.normal(jax.random.PRNGKey(1), out["final_t"].shape)
-            return jnp.sum(img * w) + jnp.sum(out["final_t"] * wt)
+        def f_strip(y0, means, scales, quats, opac, sh):
+            out = render_gaussians(
+                means, scales, quats, opac, sh, strip_camera(y0, hs), c)
+            w = jax.lax.dynamic_slice_in_dim(wfull, y0, hs, 0)
+            wt = jax.lax.dynamic_slice_in_dim(wtfull, y0, hs, 0)
+            return jnp.sum(out["image"] * w) + jnp.sum(out["final_t"] * wt)
 
-        val, grads = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2, 3, 4)))(
-            means, scales, quats, opac, sh
-        )
-        img = jax.jit(
-            lambda *a: render_gaussians(*a, camera, c)["image"]
-        )(means, scales, quats, opac, sh)
-        return img, val, grads
+        vg = jax.jit(jax.value_and_grad(f_strip, argnums=(1, 2, 3, 4, 5)))
+        img_fn = jax.jit(lambda y0, *a: render_gaussians(
+            *a, strip_camera(y0, hs), c)["image"])
 
-    img_p, val_p, g_p = loss_of("pallas")
-    img_x, val_x, g_x = loss_of("xla")
+        val = 0.0
+        grads = None
+        imgs = []
+        for i in range(strips):
+            y0 = jnp.int32(i * hs)
+            v, g = vg(y0, means, scales, quats, opac, sh)
+            v, g = jax.block_until_ready((v, g))  # one strip live at a time
+            val = val + v
+            grads = g if grads is None else jax.tree_util.tree_map(
+                jnp.add, grads, g)
+            imgs.append(img_fn(y0, means, scales, quats, opac, sh))
+        return jnp.concatenate(imgs, axis=0), val, grads
+
+    img_p, val_p, g_p = loss_of("pallas", 1)
+    img_x, val_x, g_x = loss_of("xla", args.strips)
 
     names = ["means3d", "scales", "quats", "opacity", "sh"]
     # Pass criteria are distributional, not max-based: the two backends are

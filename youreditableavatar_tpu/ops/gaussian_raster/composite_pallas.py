@@ -201,15 +201,16 @@ def _backward_kernel(
 
     The naive port of `backward.cu:400-641` does 9 full (8,128)→scalar
     reductions per gaussian (each ~10 shuffle steps) — measured ~60% of the
-    backward kernel's time. Instead the per-gaussian loop stores the 7
+    backward kernel's time. Instead the per-gaussian loop stores the 9
     gradient INTEGRAND pixel planes (d_mean_x/y, d_conic_a/b/c integrands,
-    dα·G, and w = α·T) into VMEM scratch, and the pixel sums for all 128
-    gaussians of a chunk are taken jointly at chunk end — a tree reduction
-    over the pixel axis of a (128, 1024) matrix costs ~2 register ops per
-    gaussian per field vs ~10 for per-gaussian scalar reductions. The
-    per-pixel integrands are identical to the CUDA kernel's atomicAdd
-    arguments, so parity holds up to fp32 summation order (tree vs
-    sequential).
+    dα·G, and the three cotangent-weighted color products w·gr/gg/gb) into
+    VMEM scratch — stores are ~free (probe: 6 fewer stores saved 0.1 ms) —
+    and the pixel sums for all 128 gaussians of a chunk are taken jointly
+    at chunk end: sublane sums with in-register rolled adds, then the
+    128-lane reduction as ONE ones-vector MXU matmul (the VPU cross-lane
+    shuffle cascade it replaces measured ~2.6 ms of the backward at
+    512²/100k). The per-pixel integrands are identical to the CUDA kernel's
+    atomicAdd arguments, so parity holds up to fp32 summation order.
 
     Output rows are lane-padded to 128 (HBM DMA requires 128-aligned minor
     slices); columns 0..8 hold the field grads, the caller slices them off.
@@ -291,26 +292,29 @@ def _backward_kernel(
             pl_s[3, g] = -(dpdx * dy)  # d conic_b
             pl_s[4, g] = -0.5 * (dpdy * dy)  # d conic_c
             pl_s[5, g] = dalpha * gauss  # d opacity
-            pl_s[6, g] = w  # color weight (× cot channel at chunk level)
+            # Color-channel products stored as planes (gr/gg/gb are chunk
+            # constants): probe-measured stores are ~free while forming the
+            # products at reduce time costs three extra full-plane passes.
+            pl_s[6, g] = w * gr
+            pl_s[7, g] = w * gg
+            pl_s[8, g] = w * gb
 
             return (jnp.where(contrib, test_t, trans),
                     jnp.where(trigger, 1.0, done),
                     pg_dot)
 
         def reduce_chunk(slot):
-            """Joint pixel-sum of the integrand planes for all 128 pairs."""
+            """Joint pixel-sum of the 9 integrand planes for all 128 pairs.
 
-            def red(plane):  # (CHUNK, SUB, LANE) → (CHUNK, 1) pixel sums
-                return jnp.sum(
-                    plane.reshape(CHUNK, SUB * LANE), axis=1, keepdims=True
-                )
-
-            for f in range(6):
-                out_s[slot, :, f:f + 1] = red(pl_s[f])
-            ww = pl_s[6]
-            out_s[slot, :, 6:7] = red(ww * gr[None])
-            out_s[slot, :, 7:8] = red(ww * gg[None])
-            out_s[slot, :, 8:9] = red(ww * gb[None])
+            Axis-decomposed: the sublane axis reduces with in-register
+            rolled adds (cheap), and the 128-lane reduction — the expensive
+            cross-lane shuffle cascade when done on the VPU (measured
+            ~2.6 ms of the backward at 512²/100k) — becomes ONE ones-vector
+            matmul on the MXU, which runs in parallel with the VPU loop.
+            """
+            part = jnp.sum(pl_s[...], axis=2)  # (9, CHUNK, LANE) sublanes
+            sums = jnp.sum(part, axis=-1)  # (9, CHUNK): 8x less lane work
+            out_s[slot, :, 0:9] = sums.T
 
         def grad_dma(c, slot):
             row0 = pl.multiple_of((start + c * CHUNK), CHUNK)
@@ -406,7 +410,7 @@ def _backward_kernel(
     pl.run_scoped(
         scoped,
         smem=pltpu.SMEM((2, CHUNK * NUM_FIELDS // LANE, LANE), jnp.float32),
-        pl_s=pltpu.VMEM((7, CHUNK, SUB, LANE), jnp.float32),
+        pl_s=pltpu.VMEM((9, CHUNK, SUB, LANE), jnp.float32),
         out_s=pltpu.VMEM((2, CHUNK, LANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
         gsem=pltpu.SemaphoreType.DMA((2,)),

@@ -93,3 +93,125 @@ def test_pallas_grads_match_xla(scene):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5 * max(scale, 1e-3)
         )
+
+
+class TestChunkBoundaryLayout:
+    """Deterministic chunk-boundary coverage for pad_tile_ranges +
+    build_pallas_pair_rows (ADVICE r2): tile pair counts straddling the
+    128-pair CHUNK ({0, 1, 127, 128, 129}) plus budget-overflow pairs.
+    Asserts the padded layout routes every real pair to its tile-exclusive
+    chunk-aligned slot, padding slots point at the zero field row, and the
+    gather's VJP sends padding-slot cotangents to the discarded zero row.
+    """
+
+    def _make_binning(self, counts, budget):
+        from youreditableavatar_tpu.ops.gaussian_raster.types import (
+            TileBinning,
+        )
+
+        counts = np.asarray(counts, np.int32)
+        total = int(counts.sum())
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(
+            np.int32)
+        # pair g-ids: distinct per pair, depth order within tile = id order
+        pair_gauss = np.arange(budget, dtype=np.int32) % 977
+        pair_tile = np.full((budget,), len(counts), np.int32)  # sentinel
+        for t, (s, c) in enumerate(zip(starts, counts)):
+            pair_tile[s:s + c] = t
+        return TileBinning(
+            pair_gauss=jnp.asarray(pair_gauss),
+            pair_tile=jnp.asarray(pair_tile),
+            tile_start=jnp.asarray(starts),
+            tile_count=jnp.asarray(counts),
+            num_pairs=jnp.asarray(total),
+        )
+
+    @pytest.mark.parametrize("counts", [
+        [0, 127, 128, 129],
+        [129, 0, 0, 127],
+        [1, 128, 0, 5],
+    ])
+    def test_padded_destinations(self, counts):
+        from youreditableavatar_tpu.ops.gaussian_raster.binning import (
+            pad_tile_ranges,
+        )
+        from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
+            CHUNK,
+        )
+
+        budget = 512
+        padded = budget + len(counts) * CHUNK
+        binning = self._make_binning(counts, budget)
+        dst, astart, total = jax.jit(
+            lambda b: pad_tile_ranges(b, CHUNK, padded))(binning)
+        dst, astart = np.asarray(dst), np.asarray(astart)
+        assert int(total) == sum(counts)
+        # aligned starts: cumulative chunk-aligned counts
+        expect_start = 0
+        for t, c in enumerate(counts):
+            assert astart[t] == expect_start
+            expect_start += -(-c // CHUNK) * CHUNK
+        # every real pair lands inside its tile's aligned range, in order
+        starts = np.asarray(binning.tile_start)
+        for t, c in enumerate(counts):
+            s = starts[t]
+            np.testing.assert_array_equal(
+                dst[s:s + c], astart[t] + np.arange(c))
+        # overflow pairs (beyond total) dropped
+        assert (dst[sum(counts):] == padded).all()
+
+    def test_padding_slots_inert_and_grad_safe(self):
+        """Padding slots index the zero field row; cotangents landing on
+        padding rows do not leak into any gaussian's gradient."""
+        from youreditableavatar_tpu.ops.gaussian_raster.binning import (
+            pad_tile_ranges,
+        )
+        from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
+            CHUNK,
+        )
+        from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import (
+            NUM_FIELDS,
+        )
+
+        counts = [127, 1, 129]
+        budget = 512
+        padded = budget + len(counts) * CHUNK
+        binning = self._make_binning(counts, budget)
+        dst, astart, _ = pad_tile_ranges(binning, CHUNK, padded)
+
+        n = 977
+        rng = np.random.default_rng(0)
+        fields = jnp.asarray(rng.normal(size=(n, 9)), jnp.float32)
+
+        def build(fields):
+            fields_ext = jnp.concatenate(
+                [jnp.zeros((1, 9), fields.dtype), fields], axis=0)
+            pg = jnp.zeros((padded,), jnp.int32).at[dst].set(
+                binning.pair_gauss + 1, mode="drop")
+            return jnp.concatenate(
+                [fields_ext[pg],
+                 jnp.zeros((padded, NUM_FIELDS - 9), fields.dtype)], axis=1
+            ), pg
+
+        rows, pg = build(fields)
+        pg = np.asarray(pg)
+        # padding slots -> row 0 (zero row) -> zero field values
+        pad_mask = np.ones(padded, bool)
+        pad_mask[np.asarray(dst)[: sum(counts)]] = False
+        assert (pg[pad_mask] == 0).all()
+        assert not np.asarray(rows)[pad_mask].any()
+
+        # VJP: cotangents on PADDING rows must not reach any gaussian.
+        ct = jnp.asarray(rng.normal(size=(padded, NUM_FIELDS)), jnp.float32)
+        ct = ct * jnp.asarray(pad_mask[:, None], jnp.float32)
+        g = jax.grad(lambda f: jnp.vdot(build(f)[0], ct))(fields)
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+        # ...and cotangents on REAL rows reach exactly their gaussians.
+        ct2 = jnp.asarray(rng.normal(size=(padded, NUM_FIELDS)), jnp.float32)
+        ct2 = ct2 * jnp.asarray(~pad_mask[:, None], jnp.float32)
+        g2 = jax.grad(lambda f: jnp.vdot(build(f)[0], ct2))(fields)
+        touched = np.unique(np.asarray(binning.pair_gauss)[: sum(counts)])
+        untouched = np.setdiff1d(np.arange(n), touched)
+        assert np.abs(np.asarray(g2)[touched]).sum() > 0
+        np.testing.assert_array_equal(np.asarray(g2)[untouched], 0.0)

@@ -37,10 +37,10 @@ def gather_kernel(ids_hbm, tbl_ref, out_hbm):
 
     def scoped(ids_s, stage, sems, osem):
         pltpu.make_async_copy(
-            ids_hbm.at[c], ids_s, sems.at[0]
+            ids_hbm.at[pl.ds(c, 1)], ids_s, sems.at[0]
         ).start()
         pltpu.make_async_copy(
-            ids_hbm.at[c], ids_s, sems.at[0]
+            ids_hbm.at[pl.ds(c, 1)], ids_s, sems.at[0]
         ).wait()
 
         def body(g, _):
@@ -117,12 +117,12 @@ def main():
         return best * 1e3
 
     t = chain(pallas_gather, (ids, tbl_packed),
-              lambda o, a: (a[0] ^ (o[0, 0, 0].astype(jnp.int32) & 0),
+              lambda o, a: (a[0] ^ (o[0, 0, 0].astype(jnp.int32) & 1),
                             a[1]))
     print(f"pallas gather: {t:7.3f} ms  ({t * 1e6 / P:.2f} ns/row)")
 
     t = chain(lambda i, tb: tb[i], (ids, tbl_rows),
-              lambda o, a: (a[0] ^ (o[0, 0].astype(jnp.int32) & 0), a[1]))
+              lambda o, a: (a[0] ^ (o[0, 0].astype(jnp.int32) & 1), a[1]))
     print(f"xla gather:    {t:7.3f} ms  ({t * 1e6 / P:.2f} ns/row)")
 
 

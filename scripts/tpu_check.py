@@ -64,36 +64,99 @@ def main():
     wtfull = jax.random.normal(jax.random.PRNGKey(1),
                                (args.size, args.size))
 
-    def strip_camera(y0, hs):
-        return camera._replace(cy=camera.cy - y0, height=hs)
+    def render_band(backend, row_lo, rows_loc, c, *params):
+        """Rows [row_lo·ts, (row_lo+rows_loc)·ts) of the FULL-camera render.
+
+        Full-camera preprocess (tan_fov clamps, projection — identical to
+        the one-shot render), then the tile rects are clipped to the band
+        and shifted into its local frame (`_shard_proj_rows`, the exact
+        mechanism the sharded trainer uses) so binning + compositing run
+        on the band only.
+        """
+        from youreditableavatar_tpu.ops.gaussian_raster.binning import (
+            bin_gaussians,
+        )
+        from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import (
+            assemble_image,
+            composite_tiles_xla,
+            gather_pair_data,
+        )
+        from youreditableavatar_tpu.ops.gaussian_raster.preprocess import (
+            preprocess_gaussians,
+        )
+        from youreditableavatar_tpu.parallel.train_step import (
+            _shard_proj_rows,
+        )
+
+        means, scales, quats, opac, sh = params
+        ts = c.tile_size
+        ntx = -(-camera.width // ts)
+        proj = preprocess_gaussians(
+            means, scales, quats, opac, sh, camera, c.sh_degree, ts,
+            c.scale_mod, rect_mode=c.rect_mode,
+        )
+        proj = _shard_proj_rows(proj, jnp.int32(row_lo), rows_loc, ts)
+        binning = bin_gaussians(proj, ntx, rows_loc, c.pair_budget, ts)
+        binning = jax.tree_util.tree_map(jax.lax.stop_gradient, binning)
+        pair = gather_pair_data(
+            proj.mean2d, proj.conic, proj.color, proj.opacity,
+            binning.pair_gauss, binning.tile_start,
+            jnp.minimum(binning.tile_count, c.tile_capacity),
+            c.tile_capacity,
+        )
+        rgb_t, t_t, _ = composite_tiles_xla(pair, ntx, rows_loc, ts,
+                                            c.chunk)
+        rgb, final_t = assemble_image(
+            rgb_t, t_t, ntx, rows_loc, ts, camera.width, rows_loc * ts)
+        return rgb, final_t  # bg is zero in this check
 
     def loss_of(backend, strips):
         c = dataclasses.replace(cfg, backend=backend)
-        hs = args.size // strips
-        assert hs % cfg.tile_size == 0, "strips must be tile-aligned"
+        ts = c.tile_size
+        rows_total = args.size // ts
+        assert rows_total % strips == 0
+        rows_loc = rows_total // strips
+        hs = rows_loc * ts
 
-        def f_strip(y0, means, scales, quats, opac, sh):
-            out = render_gaussians(
-                means, scales, quats, opac, sh, strip_camera(y0, hs), c)
+        if strips == 1:
+
+            def f(means, scales, quats, opac, sh):
+                out = render_gaussians(
+                    means, scales, quats, opac, sh, camera, c)
+                return (jnp.sum(out["image"] * wfull)
+                        + jnp.sum(out["final_t"] * wtfull))
+
+            val, grads = jax.jit(
+                jax.value_and_grad(f, argnums=(0, 1, 2, 3, 4)))(
+                means, scales, quats, opac, sh)
+            img = jax.jit(lambda *a: render_gaussians(
+                *a, camera, c)["image"])(means, scales, quats, opac, sh)
+            return img, val, grads
+
+        def f_strip(row_lo, means, scales, quats, opac, sh):
+            rgb, final_t = render_band(
+                backend, row_lo, rows_loc, c, means, scales, quats, opac,
+                sh)
+            y0 = row_lo * ts
             w = jax.lax.dynamic_slice_in_dim(wfull, y0, hs, 0)
             wt = jax.lax.dynamic_slice_in_dim(wtfull, y0, hs, 0)
-            return jnp.sum(out["image"] * w) + jnp.sum(out["final_t"] * wt)
+            return jnp.sum(rgb * w) + jnp.sum(final_t * wt)
 
         vg = jax.jit(jax.value_and_grad(f_strip, argnums=(1, 2, 3, 4, 5)))
-        img_fn = jax.jit(lambda y0, *a: render_gaussians(
-            *a, strip_camera(y0, hs), c)["image"])
+        img_fn = jax.jit(lambda row_lo, *a: render_band(
+            backend, row_lo, rows_loc, c, *a)[0])
 
         val = 0.0
         grads = None
         imgs = []
         for i in range(strips):
-            y0 = jnp.int32(i * hs)
-            v, g = vg(y0, means, scales, quats, opac, sh)
+            row_lo = jnp.int32(i * rows_loc)
+            v, g = vg(row_lo, means, scales, quats, opac, sh)
             v, g = jax.block_until_ready((v, g))  # one strip live at a time
             val = val + v
             grads = g if grads is None else jax.tree_util.tree_map(
                 jnp.add, grads, g)
-            imgs.append(img_fn(y0, means, scales, quats, opac, sh))
+            imgs.append(img_fn(row_lo, means, scales, quats, opac, sh))
         return jnp.concatenate(imgs, axis=0), val, grads
 
     img_p, val_p, g_p = loss_of("pallas", 1)

@@ -57,6 +57,13 @@ def test_pallas_forward_matches_xla(scene):
     np.testing.assert_allclose(
         np.asarray(ox["final_t"]), np.asarray(op["final_t"]), atol=1e-6
     )
+    # n_contrib diagnostic: exact count agreement between backends, and
+    # empty pixels (T == 1) have zero contributors.
+    np.testing.assert_array_equal(
+        np.asarray(ox["n_contrib"]), np.asarray(op["n_contrib"])
+    )
+    empty = np.asarray(ox["final_t"]) >= 1.0 - 1e-7
+    assert (np.asarray(ox["n_contrib"])[empty] == 0).all()
 
 
 def test_pallas_grads_match_xla(scene):

@@ -13,6 +13,10 @@ def main(argv=None):
     p.add_argument("--prompt", required=True)
     p.add_argument("--out", default="outputs/edit_texture")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--sample-type", default="full",
+                   choices=["full", "upper", "lower"],
+                   help="garment framing for probe/turntable views "
+                        "(reference run_pg.sh sample_type)")
     p.add_argument("--inpainter", default="stub",
                    choices=["stub", "sdxl", "sdxl-random"])
     p.add_argument("--sdxl-weights", default=None,
@@ -35,7 +39,7 @@ def main(argv=None):
     inpainter = make_inpainter_backend(args.inpainter, args.sdxl_weights)
     arts = run_edit_texture_stage(
         args.out, args.edit_mesh, args.tetgs_init, args.prompt, scale,
-        inpainter=inpainter,
+        inpainter=inpainter, sample_type=args.sample_type,
     )
     print(arts)
 

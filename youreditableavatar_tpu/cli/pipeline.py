@@ -167,6 +167,7 @@ def run_spatial_stage(
     edit_prompt: str,
     scale: PipelineScale,
     seed: int = 0,
+    edit_prompt_global: Optional[str] = None,
     editing_region_info: Optional[Dict] = None,
     guidance_backend: str = "stub",
     sd_weights: Optional[str] = None,
@@ -260,6 +261,15 @@ def run_spatial_stage(
             cache_dir=os.path.join(out_dir, ".cache"),
             model_name=guidance_backend,
         )
+        # Distinct global prompt (reference run.sh local_prompt vs
+        # global_prompt; config key system.prompt_global) — SDS on the
+        # full-body view uses the scene-level phrasing.
+        gp = edit_prompt_global or sys_cfg.get("prompt_global")
+        prompts_global = prompts if not gp else PromptProcessor(
+            str(gp), "low quality", enc,
+            cache_dir=os.path.join(out_dir, ".cache"),
+            model_name=guidance_backend,
+        )
         loss_cfg = dict(sys_cfg.get("loss", {}))
         opt_cfg = dict(sys_cfg.get("optimizer", {}))
         edit_kwargs: Dict = dict(
@@ -301,8 +311,8 @@ def run_spatial_stage(
             edit_kwargs["eps"] = float(opt_cfg["eps"])
         edit_cfg = HumanEditConfig(**edit_kwargs)
         trainer = HumanEditTrainer(
-            field, geometry, part, params, guidance, prompts, prompts,
-            edit_cfg, scale.mesh_raster, seed=seed,
+            field, geometry, part, params, guidance, prompts,
+            prompts_global, edit_cfg, scale.mesh_raster, seed=seed,
         )
         trainer.save_dir = out_dir
         if progress_path is not None:
@@ -447,8 +457,15 @@ def run_edit_texture_stage(
     scale: PipelineScale,
     inpainter=None,
     seed: int = 0,
+    sample_type: str = "full",
 ) -> Dict[str, str]:
-    """Stage 4: progressive inpaint + refine, final turntable renders."""
+    """Stage 4: progressive inpaint + refine, final turntable renders.
+
+    sample_type crops the probe/turntable framing to the garment band
+    ("upper"/"lower"/"full", reference `gen_tet_camera`/`run_pg.sh`); the
+    first two inpainting views always keep the full-body framing for the
+    joint front/back step.
+    """
     os.makedirs(out_dir, exist_ok=True)
     key = jax.random.PRNGKey(seed)
     edit = load_edit_mesh(edit_mesh_path)
@@ -472,10 +489,20 @@ def run_edit_texture_stage(
     tm = TexturedMeshModel(
         verts, faces, editing_mask, scale.mesh_raster
     )
-    sampler = RandomCameraSampler(_cam_cfg(scale), seed=seed + 2)
-    cams = []
-    for i in range(scale.inpaint_views):
-        cams.append(sampler.sample().global_[0])
+    # Reference view sets: 3-ring probe cameras for the progressive
+    # inpainting ladder and a turntable for refinement (`sample_gs_cameras`
+    # / `sample_circle_gs_cameras`), with the garment-band framing.
+    from youreditableavatar_tpu.models.cameras import (
+        sample_circle_cameras,
+        sample_ring_cameras,
+    )
+
+    nv = scale.inpaint_views
+    counts = (max(nv // 4, 2), max(3 * nv // 8, 1), max(3 * nv // 8, 1))
+    cams = sample_ring_cameras(
+        counts=counts, height=scale.image_hw, width=scale.image_hw,
+        sample_type=sample_type,
+    )[:nv]
     inp_cfg = InpaintConfig(
         iters_first=scale.fit_iters // 4 or 1,
         iters_second=scale.fit_iters // 5 or 1,
@@ -489,7 +516,10 @@ def run_edit_texture_stage(
     key, k1, k2 = jax.random.split(key, 3)
     ep = trainer.inpaint_training(k1)
 
-    turn = [sampler.sample().global_[0] for _ in range(scale.turntable_views)]
+    turn = sample_circle_cameras(
+        num_views=scale.turntable_views, height=scale.image_hw,
+        width=scale.image_hw, sample_type=sample_type,
+    )
     blends = trainer.prepare_refine_guidance(turn, k2)
     blend_dir = os.path.join(out_dir, "blend_images")
     for i, b in enumerate(blends):

@@ -88,7 +88,7 @@ def _forward_kernel(
     starts_ref,  # scalar prefetch: (T,) int32 chunk-aligned range starts
     counts_ref,  # scalar prefetch: (T,) int32 true pair counts
     pair_hbm,  # (P_pad·16/128, 128) flat row-major pair rows in HBM
-    out_ref,  # (1, 4, SUB, LANE) VMEM: rows r, g, b, T
+    out_ref,  # (1, 5, SUB, LANE) VMEM: rows r, g, b, T, n_contrib
     *,
     num_tiles_x: int,
     tile_size: int,
@@ -117,7 +117,7 @@ def _forward_kernel(
             start_dma(0, 0).start()
 
         def gauss_body(g, carry, c):
-            trans, done, r_acc, g_acc, b_acc = carry
+            trans, done, r_acc, g_acc, b_acc, cnt = carry
             slot = jax.lax.rem(c, 2)
             i = c * CHUNK + g
             alpha, ok, _, _, _ = _gauss_alpha(smem, slot, g, px, py)
@@ -135,6 +135,7 @@ def _forward_kernel(
                 r_acc + w * cr,
                 g_acc + w * cg,
                 b_acc + w * cb_,
+                cnt + contrib.astype(jnp.float32),
             )
 
         def chunk_cond(carry):
@@ -163,8 +164,9 @@ def _forward_kernel(
             jnp.zeros((SUB, LANE), jnp.float32),
             jnp.zeros((SUB, LANE), jnp.float32),
             jnp.zeros((SUB, LANE), jnp.float32),
+            jnp.zeros((SUB, LANE), jnp.float32),  # n_contrib
         )
-        c_end, (trans, done, r_acc, g_acc, b_acc) = jax.lax.while_loop(
+        c_end, (trans, done, r_acc, g_acc, b_acc, cnt) = jax.lax.while_loop(
             chunk_cond, chunk_body, (jnp.int32(0), init)
         )
 
@@ -177,6 +179,7 @@ def _forward_kernel(
         out_ref[0, 1] = g_acc
         out_ref[0, 2] = b_acc
         out_ref[0, 3] = trans
+        out_ref[0, 4] = cnt  # per-pixel contributor count (n_contrib)
 
     pl.run_scoped(
         scoped,
@@ -189,7 +192,7 @@ def _backward_kernel(
     starts_ref,  # scalar prefetch: (T,) int32
     counts_ref,  # scalar prefetch: (T,) int32
     pair_flat,  # (P_pad·16/128, 128) flat HBM view (SMEM scalar chunks)
-    fwd_ref,  # (1, 4, SUB, LANE) VMEM: forward r, g, b, T_final
+    fwd_ref,  # (1, 5, SUB, LANE) VMEM: forward r, g, b, T_final, count
     cot_ref,  # (1, 4, SUB, LANE) VMEM: cotangents dr, dg, db, dT
     dpair_hbm,  # out: (P_pad, 128) HBM grad rows, fields in cols 0..8
     *,
@@ -433,14 +436,14 @@ def _forward_call(pair_rows, starts, counts, ntx, nty, tile_size, interpret):
         grid=(num_t,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 4, SUB, LANE), lambda t, s, c: (t, 0, 0, 0),
+            (1, 5, SUB, LANE), lambda t, s, c: (t, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_t, 4, SUB, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_t, 5, SUB, LANE), jnp.float32),
         interpret=interpret,
     )(starts, counts, pair_flat)
 
@@ -462,7 +465,7 @@ def _backward_call(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, 4, SUB, LANE), lambda t, s, c: (t, 0, 0, 0),
+                (1, 5, SUB, LANE), lambda t, s, c: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -493,7 +496,7 @@ def composite_tiles_pallas(
     num_tiles_y: int,
     tile_size: int = 32,
     interpret: bool = False,
-) -> Tuple[Array, Array]:
+) -> Tuple[Array, Array, Array]:
     """Pallas compositing over the pair-major layout.
 
     Args:
@@ -502,7 +505,8 @@ def composite_tiles_pallas(
         must be zero (inert: alpha 0).
       starts / counts: (T,) per-tile aligned start + true count.
     Returns:
-      rgb: (T, 3, PIX); final_t: (T, PIX).
+      rgb: (T, 3, PIX); final_t: (T, PIX); n_contrib: (T, PIX) count of
+      contributing pairs per pixel (stop-gradient diagnostic).
 
     The gradient w.r.t. pair_rows holds garbage in padding rows (the
     backward kernel visits whole chunks, and rows beyond the last tile's
@@ -527,12 +531,13 @@ def _composite_fwd(pair_rows, starts, counts, ntx, nty, tile_size, interpret):
     pix = tile_size * tile_size
     rgb = packed[:, :3].reshape(-1, 3, pix)
     final_t = packed[:, 3].reshape(-1, pix)
-    return (rgb, final_t), (pair_rows, starts, counts, packed)
+    cnt = jax.lax.stop_gradient(packed[:, 4].reshape(-1, pix))
+    return (rgb, final_t, cnt), (pair_rows, starts, counts, packed)
 
 
 def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
     pair_rows, starts, counts, packed = residuals
-    drgb, dt = cot
+    drgb, dt, _dcnt = cot  # the count output is a stop-grad diagnostic
     num_t = starts.shape[0]
     cot_pack = jnp.concatenate(
         [

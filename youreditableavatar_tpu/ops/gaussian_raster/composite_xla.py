@@ -119,6 +119,8 @@ def composite_tiles_xla(
     Returns:
       rgb: (T, 3, PIX) accumulated color (no background).
       final_t: (T, PIX) final transmittance.
+      n_contrib: (T, PIX) int32 contributing-gaussian count per pixel
+        (the reference forward's n_contrib diagnostic, forward.cu:330-371).
     """
     num_t, _, cap = pair_data.shape
     if cap % chunk != 0:
@@ -129,8 +131,8 @@ def composite_tiles_xla(
     )  # (T, PIX)
 
     def step(carry, fields_c):
-        # fields_c: (T, NUM_FIELDS, chunk); carry: (T_trans, done, rgb)
-        t_in, done, rgb = carry
+        # fields_c: (T, NUM_FIELDS, chunk); carry: (T_trans, done, rgb, cnt)
+        t_in, done, rgb, cnt = carry
         mx = fields_c[:, F_MX, :, None]
         my = fields_c[:, F_MY, :, None]
         ca = fields_c[:, F_CA, :, None]
@@ -165,22 +167,24 @@ def composite_tiles_xla(
             "tck,tkp->tcp", col, w, precision=jax.lax.Precision.HIGHEST
         )
         t_out = t_in * jnp.prod(jnp.where(contrib, one_m, 1.0), axis=1)
+        cnt = cnt + jnp.sum(contrib.astype(jnp.int32), axis=1)
         done = done | jnp.any(trigger & ~done[:, None, :], axis=1)
-        return (t_out, done, rgb), None
+        return (t_out, done, rgb, cnt), None
 
     t0 = jnp.ones((num_t, pix), jnp.float32)
     done0 = jnp.zeros((num_t, pix), bool)
     rgb0 = jnp.zeros((num_t, 3, pix), jnp.float32)
+    cnt0 = jnp.zeros((num_t, pix), jnp.int32)
     chunks = pair_data.reshape(num_t, NUM_FIELDS, cap // chunk, chunk)
     chunks = jnp.moveaxis(chunks, 2, 0)  # (S, T, NUM_FIELDS, chunk)
     # Remat each step: without it autodiff saves the (T, chunk, PIX)
     # intermediates of every scan step (~chunk× the carry size), which blows
     # past HBM at realistic tile capacities; with it only the (T, PIX)
     # carries are stored and the step recomputes in the backward pass.
-    (t_final, _, rgb), _ = jax.lax.scan(
-        jax.checkpoint(step), (t0, done0, rgb0), chunks
+    (t_final, _, rgb, cnt), _ = jax.lax.scan(
+        jax.checkpoint(step), (t0, done0, rgb0, cnt0), chunks
     )
-    return rgb, t_final
+    return rgb, t_final, cnt
 
 
 def assemble_image(

@@ -210,7 +210,7 @@ def render_gaussians(
             jnp.minimum(binning.tile_count, cfg.tile_capacity),
             cfg.tile_capacity,
         )
-        rgb_tiles, t_tiles = composite_tiles_xla(
+        rgb_tiles, t_tiles, cnt_tiles = composite_tiles_xla(
             pair_data, ntx, nty, ts, cfg.chunk
         )
     elif backend == "pallas":
@@ -221,7 +221,7 @@ def render_gaussians(
         pair_rows, astart = build_pallas_pair_rows(
             proj, binning, ntx, nty, cfg.pair_budget
         )
-        rgb_tiles, t_tiles = composite_tiles_pallas(
+        rgb_tiles, t_tiles, cnt_tiles = composite_tiles_pallas(
             pair_rows, astart, binning.tile_count,
             ntx, nty, ts, cfg.pallas_interpret,
         )
@@ -231,11 +231,18 @@ def render_gaussians(
     rgb, final_t = assemble_image(
         rgb_tiles, t_tiles, ntx, nty, ts, camera.width, camera.height
     )
+    # Per-pixel contributing-gaussian count (reference n_contrib
+    # diagnostic, forward.cu:330-371) — assembled like final_t.
+    cnt = cnt_tiles.reshape(nty, ntx, ts, ts)
+    cnt = jnp.transpose(cnt, (0, 2, 1, 3)).reshape(nty * ts, ntx * ts)
+    cnt = jax.lax.stop_gradient(
+        cnt[: camera.height, : camera.width].astype(jnp.int32))
     image = rgb + final_t[..., None] * bg
     return {
         "image": image,
         "alpha": 1.0 - final_t,
         "final_t": final_t,
+        "n_contrib": cnt,
         "radii": proj.radius,
         "mean2d": proj.mean2d,
         "depth": proj.depth,

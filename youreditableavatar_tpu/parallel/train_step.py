@@ -122,7 +122,7 @@ def _render_tile_sharded(
         pair_rows, astart = build_pallas_pair_rows(
             proj_loc, binning, ntx, rows_loc, cfg.pair_budget
         )
-        rgb_loc, t_loc_arr = composite_tiles_pallas(
+        rgb_loc, t_loc_arr, _ = composite_tiles_pallas(
             pair_rows, astart, binning.tile_count,
             ntx, rows_loc, ts, cfg.pallas_interpret,
         )
@@ -153,7 +153,7 @@ def _render_tile_sharded(
             jnp.minimum(binning.tile_count[my], cfg.tile_capacity),
             cfg.tile_capacity,
         )
-        rgb_loc, t_loc_arr = composite_tiles_xla(
+        rgb_loc, t_loc_arr, _ = composite_tiles_xla(
             pair_local, ntx, nty, ts, cfg.chunk, tile_ids=my
         )
     else:

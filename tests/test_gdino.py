@@ -491,3 +491,79 @@ class TestMSDeformAttnTorchParity:
         theirs = self._torch_msda(q, ref, val, shapes, p, heads, pts,
                                   ref_wh_np=wh)
         np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-4)
+
+
+class TestBertTowerParity:
+    """bert_encode vs transformers.BertModel on a tiny random config —
+    pins embeddings (+LayerNorm), post-LN residual blocks, attention
+    masking, and the GELU variant."""
+
+    def test_matches_transformers(self):
+        import torch
+        from transformers import BertConfig, BertModel
+
+        from youreditableavatar_tpu.guidance.grounding_dino import (
+            bert_encode,
+        )
+
+        cfg = BertConfig(
+            vocab_size=64, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=16, type_vocab_size=2,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+        torch.manual_seed(0)
+        model = BertModel(cfg, add_pooling_layer=False).eval()
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+        def lin(pre):
+            return {"w": jnp.asarray(sd[pre + ".weight"].T.copy()),
+                    "b": jnp.asarray(sd[pre + ".bias"])}
+
+        def ln(pre):
+            return {"g": jnp.asarray(sd[pre + ".weight"]),
+                    "b": jnp.asarray(sd[pre + ".bias"])}
+
+        p = {
+            "tok_emb": jnp.asarray(sd["embeddings.word_embeddings.weight"]),
+            "pos_emb": jnp.asarray(
+                sd["embeddings.position_embeddings.weight"]),
+            "type_emb": jnp.asarray(
+                sd["embeddings.token_type_embeddings.weight"]),
+            "emb_norm": ln("embeddings.LayerNorm"),
+            "layers": [
+                {
+                    "attn": {
+                        "q": lin(f"encoder.layer.{i}.attention.self.query"),
+                        "k": lin(f"encoder.layer.{i}.attention.self.key"),
+                        "v": lin(f"encoder.layer.{i}.attention.self.value"),
+                        "o": lin(
+                            f"encoder.layer.{i}.attention.output.dense"),
+                    },
+                    "attn_norm": ln(
+                        f"encoder.layer.{i}.attention.output.LayerNorm"),
+                    "mlp": {
+                        "fc1": lin(f"encoder.layer.{i}.intermediate.dense"),
+                        "fc2": lin(f"encoder.layer.{i}.output.dense"),
+                    },
+                    "mlp_norm": ln(f"encoder.layer.{i}.output.LayerNorm"),
+                }
+                for i in range(2)
+            ],
+        }
+
+        rng = np.random.default_rng(1)
+        toks = rng.integers(0, 64, 12).astype(np.int32)
+        toks[9:] = 0
+        mask = np.zeros(12, bool)
+        mask[:9] = True
+
+        ours = np.asarray(bert_encode(
+            p, jnp.asarray(toks), jnp.asarray(mask), heads=2))
+        with torch.no_grad():
+            ref = model(
+                input_ids=torch.from_numpy(toks.astype(np.int64))[None],
+                attention_mask=torch.from_numpy(
+                    mask.astype(np.int64))[None],
+            ).last_hidden_state[0].numpy()
+        np.testing.assert_allclose(ours[:9], ref[:9], atol=5e-5, rtol=1e-4)

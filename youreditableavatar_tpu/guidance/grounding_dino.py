@@ -151,7 +151,14 @@ def _mlp_init(key, d, hidden, dout=None) -> Params:
                                                           dout or d)}
 
 
-def _mlp(x, p, act=jax.nn.gelu):
+def _gelu_exact(x):
+    # torch nn.GELU default = exact erf gelu (Swin MLPs and BERT both use
+    # it); jax.nn.gelu defaults to the tanh approximation, which diverges
+    # at the 1e-3 level per activation.
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _mlp(x, p, act=_gelu_exact):
     return _apply_linear(act(_apply_linear(x, p["fc1"])), p["fc2"])
 
 

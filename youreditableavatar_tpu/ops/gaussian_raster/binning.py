@@ -57,9 +57,16 @@ def bin_gaussians(
     sentinel = num_tiles
 
     # (1) Depth order over gaussians (invalid ones have tiles_touched == 0 and
-    # drop out of the expansion regardless of their position).
+    # drop out of the expansion regardless of their position). Single-key
+    # sort on the standard order-preserving int view of the f32 depth
+    # (negative floats complemented) + stable payload — a 2-key
+    # lexicographic lax.sort costs several times more comparator passes for
+    # the same deterministic (depth, index) order.
+    bits = jax.lax.bitcast_convert_type(proj.depth, jnp.int32)
+    depth_key = jnp.where(bits < 0, ~bits, bits)
     _, order = jax.lax.sort(
-        (proj.depth, jnp.arange(n, dtype=jnp.int32)), num_keys=2
+        (depth_key, jnp.arange(n, dtype=jnp.int32)),
+        num_keys=1, is_stable=True,
     )
 
     # Pack everything the pair expansion reads into ONE depth-ordered row

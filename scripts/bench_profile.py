@@ -74,6 +74,7 @@ def main():
 
     per_op = collections.Counter()
     n_ev = collections.Counter()
+    op_args = {}
     for e in events:
         tname = thread_names.get((e["pid"], e.get("tid")), "")
         pname = proc_names.get(e["pid"], "")
@@ -83,6 +84,8 @@ def main():
             continue
         per_op[e["name"]] += e.get("dur", 0)
         n_ev[e["name"]] += 1
+        if e.get("args") and e["name"] not in op_args:
+            op_args[e["name"]] = e["args"]
 
     total_us = sum(per_op.values())
     n_iters = 20  # 4 dispatches x 5 inner
@@ -91,6 +94,9 @@ def main():
     print(f"{'ms/iter':>8}  {'#ev':>5}  op")
     for name, us in per_op.most_common(40):
         print(f"{us/1e3/n_iters:8.3f}  {n_ev[name]:5d}  {name[:110]}")
+        args = op_args.get(name, {})
+        for k, v in args.items():
+            print(f"          | {k}: {str(v)[:240]}")
 
 
 if __name__ == "__main__":

@@ -200,39 +200,32 @@ def _backward_kernel(
     tile_size: int,
     unroll: int = 1,
 ):
-    """Analytic backward, re-designed around a per-chunk MOMENT reduction.
+    """Analytic backward: integrand planes + one MXU matmul per chunk.
 
     The naive port of `backward.cu:400-641` does 9 full (8,128)→scalar
     reductions per gaussian (each ~10 shuffle steps) — measured ~60% of the
-    backward kernel's time; the round-2/3 design stored 9 gradient integrand
-    planes per pair and reduced them jointly per chunk, still ~2.6 ms of
-    sublane reductions at 512²/100k. This version exploits that ALL 9 pixel
-    sums are inner products of just TWO per-pair planes against fixed
-    per-tile basis planes:
+    backward kernel's time. Instead the per-gaussian loop stores the 9
+    gradient INTEGRAND pixel planes (d_mean_x/y, d_conic_a/b/c integrands,
+    dα·G, and the three cotangent-weighted color products w·gr/gg/gb) into
+    VMEM scratch — stores are ~free — and ALL pixel sums for the 128 pairs
+    of a chunk are taken jointly at chunk end: sublane sums with
+    in-register rolled adds, then the 128-lane reduction of all 9 planes as
+    ONE (CHUNK, 9·LANE) × (9·LANE, 16) block-diagonal-ones MXU matmul that
+    also routes plane k to output column k (the VPU cross-lane shuffle
+    cascade + (9,CHUNK)→(CHUNK,9) in-kernel transpose it replaces measured
+    ~2.6 ms of the backward at 512²/100k). The per-pixel integrands are
+    identical to the CUDA kernel's atomicAdd arguments, so parity holds up
+    to fp32 summation order.
 
-      dpower = dα·op·G against the polynomial basis {1, px, py, px²,
-        px·py, py²} in TILE-LOCAL pixel coords (six moments M0..M5 — the
-        mean/conic/opacity integrand sums are per-pair linear combinations
-        of these, applied by the caller in XLA where per-pair scalars are
-        cheap vector math), and
-      w = α_eff·T against the three cotangent color planes (V0..V2, which
-        ARE the color grads).
-
-    So the scan stores 2 planes instead of 9 (4.5× less VMEM scratch
-    traffic) and skips the 6 integrand-product ops per pair, and the chunk
-    reduction is: sublane-weighted sums T_k = Σ_r r^k·D (the lane-separable
-    split of the polynomial basis — px is lane-only and py = 4r + ⌊c/32⌋
-    for the 32×32 tile's (8,128) register layout), three products against
-    the color planes, then ONE (CHUNK, 6·LANE) × (6·LANE, 9) MXU matmul
-    that applies the lane weights and the cross-lane reduction in a single
-    pass. The summation order differs from CUDA's atomicAdd stream but
-    every moment is an exact pixel sum, and the caller's recombination is
-    algebra on tile-local quantities (|px| < 32, |mx − tile_base| bounded
-    by the pair cull), so no catastrophic cancellation is introduced.
+    A prior variant stored only 2 planes (dpower, w) and recombined
+    per-tile polynomial moments into field grads in XLA; the kernel was
+    ~1.5× faster but the XLA-side per-pair column slicing/re-stacking of
+    (P,16) arrays cost ~6 ms at 512²/100k — more than the kernel saved.
+    Emitting final field grads directly keeps the caller glue at a single
+    wide slice.
 
     Output rows are lane-padded to 128 (HBM DMA requires 128-aligned minor
-    slices); columns 0..8 hold [M0, Mx, My, Mxx, Mxy, Myy, V0, V1, V2];
-    the caller (`_composite_bwd`) recombines them into field grads.
+    slices); columns 0..8 hold the field grads, the caller slices them off.
     """
     tile_id = pl.program_id(0)
     start = starts_ref[tile_id]
@@ -296,104 +289,60 @@ def _backward_kernel(
             raw = op * gauss
             dalpha = jnp.where(raw < ALPHA_CLAMP, dalpha, 0.0)  # 0.99 clamp
             dpower = dalpha * op * gauss
+            ca = _field(smem, slot, g, 2)
+            cb_c = _field(smem, slot, g, 3)
+            cc = _field(smem, slot, g, 4)
 
-            # Store only the two generating planes; all 9 gradient sums are
-            # inner products of these against fixed per-tile bases, taken
-            # jointly for the whole chunk in reduce_chunk.
-            pl_s[0, g] = dpower
-            pl_s[1, g] = w
+            # Per-pixel gradient integrands (= the CUDA atomicAdd arguments,
+            # backward.cu:580-630); their pixel sums are taken jointly for
+            # the whole chunk in reduce_chunk.
+            dpdx = dpower * dx
+            dpdy = dpower * dy
+            pl_s[0, g] = ca * dpdx + cb_c * dpdy  # d mean_x
+            pl_s[1, g] = cb_c * dpdx + cc * dpdy  # d mean_y
+            pl_s[2, g] = -0.5 * (dpdx * dx)  # d conic_a
+            pl_s[3, g] = -(dpdx * dy)  # d conic_b
+            pl_s[4, g] = -0.5 * (dpdy * dy)  # d conic_c
+            pl_s[5, g] = dalpha * gauss  # d opacity
+            # Color-channel products stored as planes (gr/gg/gb are chunk
+            # constants): probe-measured stores are ~free while forming the
+            # products at reduce time costs three extra full-plane passes.
+            pl_s[6, g] = w * gr
+            pl_s[7, g] = w * gg
+            pl_s[8, g] = w * gb
 
             return (jnp.where(contrib, test_t, trans),
                     jnp.where(trigger, 1.0, done),
                     pg_dot)
 
-        # Constant lane-weight matrix for the moment matmul (see kernel
-        # docstring): row i = lane ℓ = i % LANE of sublane-stat block
-        # b = i // LANE ∈ {T0, T1, T2, V0, V1, V2}; with px = ℓ % 32,
-        # v = ⌊ℓ/32⌋ and py = 4r + v, the pixel sums decompose as
-        #   M0 = Σℓ T0        Mx = Σℓ px·T0       My = Σℓ (v·T0 + 4·T1)
-        #   Mxx = Σℓ px²·T0   Mxy = Σℓ px·(v·T0 + 4·T1)
-        #   Myy = Σℓ (v²·T0 + 8v·T1 + 16·T2)      V_c = Σℓ V_c
-        ts_lane = jnp.float32(tile_size)
-        wi = jax.lax.broadcasted_iota(jnp.int32, (6 * LANE, 16), 0)
-        wj = jax.lax.broadcasted_iota(jnp.int32, (6 * LANE, 16), 1)
-        blk = wi // LANE
-        lane_f = (wi % LANE).astype(jnp.float32)
-        pxw = lane_f - jnp.floor(lane_f / ts_lane) * ts_lane
-        vw = jnp.floor(lane_f / ts_lane)
-        wmat = jnp.where(
-            (wj == 0) & (blk == 0), 1.0,
-            jnp.where(
-                (wj == 1) & (blk == 0), pxw,
-                jnp.where(
-                    (wj == 2) & (blk == 0), vw,
-                    jnp.where(
-                        (wj == 2) & (blk == 1), 4.0,
-                        jnp.where(
-                            (wj == 3) & (blk == 0), pxw * pxw,
-                            jnp.where(
-                                (wj == 4) & (blk == 0), pxw * vw,
-                                jnp.where(
-                                    (wj == 4) & (blk == 1), 4.0 * pxw,
-                                    jnp.where(
-                                        (wj == 5) & (blk == 0), vw * vw,
-                                        jnp.where(
-                                            (wj == 5) & (blk == 1), 8.0 * vw,
-                                            jnp.where(
-                                                (wj == 5) & (blk == 2), 16.0,
-                                                jnp.where(
-                                                    (wj == 6) & (blk == 3),
-                                                    1.0,
-                                                    jnp.where(
-                                                        (wj == 7)
-                                                        & (blk == 4),
-                                                        1.0,
-                                                        jnp.where(
-                                                            (wj == 8)
-                                                            & (blk == 5),
-                                                            1.0, 0.0,
-                                                        ),
-                                                    ),
-                                                ),
-                                            ),
-                                        ),
-                                    ),
-                                ),
-                            ),
-                        ),
-                    ),
-                ),
-            ),
-        )
-
-        r_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (1, SUB, LANE), 1
-        ).astype(jnp.float32)
+        # Block-diagonal ones: the matmul both reduces the 128 lanes of each
+        # sublane-summed plane and routes plane k to output column k (cols
+        # 9..15 stay zero).
+        wi = jax.lax.broadcasted_iota(jnp.int32, (9 * LANE, 16), 0)
+        wj = jax.lax.broadcasted_iota(jnp.int32, (9 * LANE, 16), 1)
+        wmat = ((wi // LANE) == wj).astype(jnp.float32)
 
         def reduce_chunk(slot):
             """All 9 pixel sums for the chunk's 128 pairs in one MXU pass.
 
-            Sublane stage: T_k = Σ_r r^k·dpower (lane-separable polynomial
-            split) and V_c = Σ_r w·g_c — six (CHUNK, LANE) stats. Lane
-            stage: concatenate along lanes and apply ONE
-            (CHUNK, 6·LANE) × (6·LANE, 16) MXU matmul that both weights the
-            lanes and reduces across them (the VPU shuffle cascade it
-            replaces measured ~2.6 ms of the backward at 512²/100k).
+            Sublane stage: in-register rolled adds reduce each (CHUNK, SUB,
+            LANE) plane to (CHUNK, LANE). Lane stage: concatenate the 9
+            plane sums along lanes and apply ONE
+            (CHUNK, 9·LANE) × (9·LANE, 16) block-diagonal-ones MXU matmul
+            that reduces across lanes and transposes plane-major sums into
+            per-pair output rows in a single pass (the VPU shuffle cascade
+            + in-kernel transpose it replaces measured ~2.6 ms of the
+            backward at 512²/100k).
             """
-            d_pl = pl_s[0]
-            w_pl = pl_s[1]
-            t0 = jnp.sum(d_pl, axis=1)  # (CHUNK, LANE)
-            t1 = jnp.sum(d_pl * r_iota, axis=1)
-            t2 = jnp.sum(d_pl * (r_iota * r_iota), axis=1)
-            v0 = jnp.sum(w_pl * gr[None], axis=1)
-            v1 = jnp.sum(w_pl * gg[None], axis=1)
-            v2 = jnp.sum(w_pl * gb[None], axis=1)
-            lhs = jnp.concatenate([t0, t1, t2, v0, v1, v2], axis=1)
-            mom = jax.lax.dot_general(
+            part = jnp.sum(pl_s[...], axis=2)  # (9, CHUNK, LANE) sublanes
+            lhs = jnp.concatenate(
+                [part[k] for k in range(9)], axis=1
+            )  # (CHUNK, 9·LANE)
+            sums = jax.lax.dot_general(
                 lhs, wmat, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (CHUNK, 16); cols 9..15 are zero by wmat
-            out_s[slot, :, 0:16] = mom
+            out_s[slot, :, 0:16] = sums
 
         def grad_dma(c, slot):
             row0 = pl.multiple_of((start + c * CHUNK), CHUNK)
@@ -489,7 +438,7 @@ def _backward_kernel(
     pl.run_scoped(
         scoped,
         smem=pltpu.SMEM((2, CHUNK * NUM_FIELDS // LANE, LANE), jnp.float32),
-        pl_s=pltpu.VMEM((2, CHUNK, SUB, LANE), jnp.float32),
+        pl_s=pltpu.VMEM((9, CHUNK, SUB, LANE), jnp.float32),
         out_s=pltpu.VMEM((2, CHUNK, LANE), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
         gsem=pltpu.SemaphoreType.DMA((2,)),
@@ -563,10 +512,9 @@ def _backward_call(
     return dpair[:, :NUM_FIELDS]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def composite_tiles_pallas(
     pair_rows: Array,
-    pair_tiles: Array,
     starts: Array,
     counts: Array,
     num_tiles_x: int,
@@ -580,8 +528,6 @@ def composite_tiles_pallas(
       pair_rows: (P_pad, NUM_FIELDS) gathered field rows, depth-ordered
         with chunk-aligned tile ranges (see `pad_tile_ranges`). Padding rows
         must be zero (inert: alpha 0).
-      pair_tiles: (P_pad,) int32 tile id of each slot (0 for padding slots);
-        used only by the backward moment recombination (not differentiated).
       starts / counts: (T,) per-tile aligned start + true count.
     Returns:
       rgb: (T, 3, PIX); final_t: (T, PIX); n_contrib: (T, PIX) count of
@@ -595,15 +541,13 @@ def composite_tiles_pallas(
     scatter-adds every padding/garbage gradient into that discarded row.
     """
     out, _ = _composite_fwd(
-        pair_rows, pair_tiles, starts, counts,
+        pair_rows, starts, counts,
         num_tiles_x, num_tiles_y, tile_size, interpret,
     )
     return out
 
 
-def _composite_fwd(
-    pair_rows, pair_tiles, starts, counts, ntx, nty, tile_size, interpret
-):
+def _composite_fwd(pair_rows, starts, counts, ntx, nty, tile_size, interpret):
     if tile_size * tile_size != SUB * LANE:
         raise ValueError("pallas backend requires tile_size == 32")
     packed = _forward_call(
@@ -613,11 +557,11 @@ def _composite_fwd(
     rgb = packed[:, :3].reshape(-1, 3, pix)
     final_t = packed[:, 3].reshape(-1, pix)
     cnt = jax.lax.stop_gradient(packed[:, 4].reshape(-1, pix))
-    return (rgb, final_t, cnt), (pair_rows, pair_tiles, starts, counts, packed)
+    return (rgb, final_t, cnt), (pair_rows, starts, counts, packed)
 
 
 def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
-    pair_rows, pair_tiles, starts, counts, packed = residuals
+    pair_rows, starts, counts, packed = residuals
     drgb, dt, _dcnt = cot  # the count output is a stop-grad diagnostic
     num_t = starts.shape[0]
     cot_pack = jnp.concatenate(
@@ -627,51 +571,11 @@ def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
         ],
         axis=1,
     )
-    mom = _backward_call(
+    dpair = _backward_call(
         pair_rows, starts, counts, packed, cot_pack, ntx, nty, tile_size,
         interpret,
     )
-    # Recombine tile-local moments into field grads (kernel docstring): per
-    # pair, with local mean (mx, my) = mean2d − tile base (derived from
-    # pair_tiles — elementwise, fuses into the recombination) and
-    # dx = px − mx:
-    #   Σ dpower·dx   = Mx − mx·M0           (A; B analogous in y)
-    #   d mean_x      = ca·A + cb·B          (backward.cu:600-612 sums)
-    #   d conic_a     = −½ Σ dpower·dx²      = −½(Mxx − 2mx·Mx + mx²·M0)
-    #   d conic_b     = −Σ dpower·dx·dy
-    #   d conic_c     = −½ Σ dpower·dy²
-    #   d opacity     = Σ dα·G = M0/op       (dpower = dα·op·G)
-    #   d color_c     = V_c directly.
-    # Elementwise over (P_pad,) columns — per-pair scalars are cheap here,
-    # unlike inside the kernel where they would be SMEM reads.
-    ts_f = jnp.float32(tile_size)
-    base_x = (pair_tiles % ntx).astype(jnp.float32) * ts_f
-    base_y = (pair_tiles // ntx).astype(jnp.float32) * ts_f
-    mx = pair_rows[:, 0] - base_x
-    my = pair_rows[:, 1] - base_y
-    ca, cb, cc = pair_rows[:, 2], pair_rows[:, 3], pair_rows[:, 4]
-    op = pair_rows[:, 5]
-    m0, m_x, m_y = mom[:, 0], mom[:, 1], mom[:, 2]
-    mxx, mxy, myy = mom[:, 3], mom[:, 4], mom[:, 5]
-    a = m_x - mx * m0
-    b = m_y - my * m0
-    dpair = jnp.stack(
-        [
-            ca * a + cb * b,
-            cb * a + cc * b,
-            -0.5 * (mxx - 2.0 * mx * m_x + mx * mx * m0),
-            -(mxy - mx * m_y - my * m_x + mx * my * m0),
-            -0.5 * (myy - 2.0 * my * m_y + my * my * m0),
-            m0 / jnp.maximum(op, 1e-12),
-            mom[:, 6], mom[:, 7], mom[:, 8],
-        ],
-        axis=1,
-    )
-    dpair = jnp.concatenate(
-        [dpair, jnp.zeros((dpair.shape[0], NUM_FIELDS - 9), dpair.dtype)],
-        axis=1,
-    )
-    return dpair, None, None, None
+    return dpair, None, None
 
 
 composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)

@@ -71,8 +71,7 @@ def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
     row-major layout through a flat (P·16/128, 128) view — no transpose is
     ever materialized.
 
-    Returns (pair_rows (P_pad, NUM_FIELDS), aligned_starts (T,),
-    pair_tiles (P_pad,) int32 tile id per slot — 0 for padding slots).
+    Returns (pair_rows (P_pad, NUM_FIELDS), aligned_starts (T,)).
     """
     from youreditableavatar_tpu.ops.gaussian_raster.binning import (
         pad_tile_ranges,
@@ -82,7 +81,6 @@ def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
     )
 
     padded_size = pair_budget + ntx * nty * CHUNK
-    num_tiles = ntx * nty
     dst, astart, _total = pad_tile_ranges(binning, CHUNK, padded_size)
     fields = jnp.stack(
         [
@@ -93,43 +91,19 @@ def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
         ],
         axis=1,
     )
-    fields_ext = jnp.concatenate(
-        [jnp.zeros((1, 9), fields.dtype), fields], axis=0
+    # Pad the N-sized table to the kernel's 16-field row width (plus the
+    # zero row 0) BEFORE the P-sized gather: the pad is an N-row pass and
+    # the gather then emits kernel-ready (P_pad, 16) rows directly — padding
+    # the gathered result instead measured ~0.5 ms of extra P-row traffic.
+    fields_ext = jnp.pad(fields, ((1, 0), (0, NUM_FIELDS - 9)))
+    pg_padded = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
+        binning.pair_gauss + 1, mode="drop"
     )
-    # The backward moment recombination needs each pair's TILE BASE (see
-    # composite_pallas._composite_bwd). Pack (gaussian+1, tile) into the one
-    # id scatter when they fit 31 bits jointly (512² → 8 tile bits, N up to
-    # ~8.3M); otherwise fall back to a second scatter.
-    shift = max(1, (num_tiles - 1).bit_length())
-    n_rows = fields.shape[0]
-    if (n_rows + 2) << shift < 2**31:
-        packed_ids = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
-            ((binning.pair_gauss + 1) << shift) | binning.pair_tile,
-            mode="drop",
-        )
-        pg_padded = packed_ids >> shift
-        tile_padded = packed_ids & ((1 << shift) - 1)
-    else:
-        pg_padded = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
-            binning.pair_gauss + 1, mode="drop"
-        )
-        tile_padded = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
-            binning.pair_tile, mode="drop"
-        )
-    # Gather only the 9 live columns, pad to the kernel's 16-field row width
-    # with a (cheap, bandwidth-only) concat: indexed-op cost scales with the
-    # NUMBER of rows, and the VJP becomes a 9-wide scatter-add. The per-pair
-    # tile id is returned SEPARATELY (the backward moment recombination
-    # derives each pair's tile base from it) — materializing base columns
-    # into the rows instead measured ~1.6 ms of narrow column copies.
-    pair_rows = jnp.concatenate(
-        [
-            fields_ext[pg_padded],
-            jnp.zeros((padded_size, NUM_FIELDS - 9), fields.dtype),
-        ],
-        axis=1,
-    )
-    return pair_rows, astart, tile_padded
+    # One row gather: indexed-op cost scales with the NUMBER of rows, and
+    # the VJP becomes one row scatter-add whose padding-slot garbage lands
+    # in the discarded zero row.
+    pair_rows = fields_ext[pg_padded]
+    return pair_rows, astart
 
 
 def render_gaussians_checked(
@@ -240,11 +214,11 @@ def render_gaussians(
             composite_tiles_pallas,
         )
 
-        pair_rows, astart, pair_tiles = build_pallas_pair_rows(
+        pair_rows, astart = build_pallas_pair_rows(
             proj, binning, ntx, nty, cfg.pair_budget
         )
         rgb_tiles, t_tiles, cnt_tiles = composite_tiles_pallas(
-            pair_rows, pair_tiles, astart, binning.tile_count,
+            pair_rows, astart, binning.tile_count,
             ntx, nty, ts, cfg.pallas_interpret,
         )
     else:

@@ -119,11 +119,11 @@ def _render_tile_sharded(
         proj_loc = _shard_proj_rows(proj, row_lo, rows_loc, ts)
         binning = bin_gaussians(proj_loc, ntx, rows_loc, cfg.pair_budget, ts)
         binning = jax.tree_util.tree_map(jax.lax.stop_gradient, binning)
-        pair_rows, astart, pair_tiles = build_pallas_pair_rows(
+        pair_rows, astart = build_pallas_pair_rows(
             proj_loc, binning, ntx, rows_loc, cfg.pair_budget
         )
         rgb_loc, t_loc_arr, _ = composite_tiles_pallas(
-            pair_rows, pair_tiles, astart, binning.tile_count,
+            pair_rows, astart, binning.tile_count,
             ntx, rows_loc, ts, cfg.pallas_interpret,
         )
         tile_overflow = jnp.int32(0)  # pallas path composites uncapped

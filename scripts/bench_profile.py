@@ -27,7 +27,7 @@ from youreditableavatar_tpu.ops.gaussian_raster import (
 
 
 def main():
-    cfg = RasterizeConfig(backend="pallas", pair_budget=1 << 18,
+    cfg = RasterizeConfig(backend="pallas", pair_budget=1440 * 128,
                           tile_capacity=8192, sh_degree=3)
     means, scales, quats, opac, sh, cam = make_scene()
     bg = jnp.zeros(3)

@@ -69,7 +69,12 @@ def _field(smem, slot, g, f):
 
 
 def _gauss_alpha(smem, slot, g, px, py):
-    """Per-pixel alpha of gaussian g (scalars from SMEM chunk row g)."""
+    """Per-pixel alpha of gaussian g (scalars from SMEM chunk row g).
+
+    Also returns gauss = exp(power) and the opacity scalar so the backward
+    kernel can form raw = op·gauss without a second exp (the duplicate
+    transcendental measured ~0.3 ms of the backward at 512²/100k).
+    """
     mx = _field(smem, slot, g, 0)
     my = _field(smem, slot, g, 1)
     ca = _field(smem, slot, g, 2)
@@ -79,9 +84,10 @@ def _gauss_alpha(smem, slot, g, px, py):
     dx = px - mx
     dy = py - my
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    alpha = jnp.minimum(ALPHA_CLAMP, op * jnp.exp(power))
+    gauss = jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_CLAMP, op * gauss)
     ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
-    return alpha, ok, dx, dy, power
+    return alpha, ok, dx, dy, gauss, op
 
 
 def _forward_kernel(
@@ -120,7 +126,7 @@ def _forward_kernel(
             trans, done, r_acc, g_acc, b_acc, cnt = carry
             slot = jax.lax.rem(c, 2)
             i = c * CHUNK + g
-            alpha, ok, _, _, _ = _gauss_alpha(smem, slot, g, px, py)
+            alpha, ok, _, _, _, _ = _gauss_alpha(smem, slot, g, px, py)
             ok = ok & (done < 0.5) & (i < count)
             test_t = trans * (1.0 - alpha)
             trigger = ok & (test_t < T_EPS)
@@ -262,7 +268,7 @@ def _backward_kernel(
             trans, done, pg_dot = carry
             slot = jax.lax.rem(c, 2)
             i = c * CHUNK + g
-            alpha, ok, dx, dy, power = _gauss_alpha(smem, slot, g, px, py)
+            alpha, ok, dx, dy, gauss, op = _gauss_alpha(smem, slot, g, px, py)
             ok = ok & (done < 0.5) & (i < count)
             test_t = trans * (1.0 - alpha)
             trigger = ok & (test_t < T_EPS)
@@ -284,8 +290,6 @@ def _backward_kernel(
                 0.0,
             )
 
-            op = _field(smem, slot, g, 5)
-            gauss = jnp.exp(power)
             raw = op * gauss
             dalpha = jnp.where(raw < ALPHA_CLAMP, dalpha, 0.0)  # 0.99 clamp
             dpower = dalpha * op * gauss
@@ -300,9 +304,11 @@ def _backward_kernel(
             dpdy = dpower * dy
             pl_s[0, g] = ca * dpdx + cb_c * dpdy  # d mean_x
             pl_s[1, g] = cb_c * dpdx + cc * dpdy  # d mean_y
-            pl_s[2, g] = -0.5 * (dpdx * dx)  # d conic_a
-            pl_s[3, g] = -(dpdx * dy)  # d conic_b
-            pl_s[4, g] = -0.5 * (dpdy * dy)  # d conic_c
+            # Conic-integrand sign/scale factors (−½, −1, −½) live in wmat —
+            # the matmul applies them for free, saving 3 VPU plane ops/pair.
+            pl_s[2, g] = dpdx * dx  # −2 · d conic_a
+            pl_s[3, g] = dpdx * dy  # −1 · d conic_b
+            pl_s[4, g] = dpdy * dy  # −2 · d conic_c
             pl_s[5, g] = dalpha * gauss  # d opacity
             # Color-channel products stored as planes (gr/gg/gb are chunk
             # constants): probe-measured stores are ~free while forming the
@@ -315,12 +321,17 @@ def _backward_kernel(
                     jnp.where(trigger, 1.0, done),
                     pg_dot)
 
-        # Block-diagonal ones: the matmul both reduces the 128 lanes of each
-        # sublane-summed plane and routes plane k to output column k (cols
-        # 9..15 stay zero).
+        # Block-diagonal reduction weights: the matmul reduces the 128 lanes
+        # of each sublane-summed plane, routes plane k to output column k
+        # (cols 9..15 stay zero), and applies the conic integrand scales
+        # (−½, −1, −½ on planes 2..4) that the scan leaves out.
         wi = jax.lax.broadcasted_iota(jnp.int32, (9 * LANE, 16), 0)
         wj = jax.lax.broadcasted_iota(jnp.int32, (9 * LANE, 16), 1)
-        wmat = ((wi // LANE) == wj).astype(jnp.float32)
+        blk = wi // LANE
+        scale = jnp.where(
+            (blk == 2) | (blk == 4), -0.5, jnp.where(blk == 3, -1.0, 1.0)
+        )
+        wmat = jnp.where(blk == wj, scale, 0.0)
 
         def reduce_chunk(slot):
             """All 9 pixel sums for the chunk's 128 pairs in one MXU pass.

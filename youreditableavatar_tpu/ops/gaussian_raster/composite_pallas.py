@@ -349,9 +349,31 @@ def _backward_kernel(
             lhs = jnp.concatenate(
                 [part[k] for k in range(9)], axis=1
             )  # (CHUNK, 9·LANE)
-            sums = jax.lax.dot_general(
-                lhs, wmat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            # Full precision is load-bearing: the MXU multiplies in bf16,
+            # and a single-pass product truncates the f32 integrand sums to
+            # 8 mantissa bits (measured grad errors up to ~1% of max|g| on
+            # chip, tpu_check FAIL). Mosaic lowers only DEFAULT and HIGHEST
+            # (6-pass, measured +0.8 ms here), so split the lhs manually
+            # into 3 bf16 pieces covering the full 24-bit f32 mantissa —
+            # the ±1/±0.5 weights are exactly representable in bf16 and the
+            # MXU accumulates in f32, so three single-pass products
+            # reproduce the f32 result exactly at half the HIGHEST cost.
+            hi = lhs.astype(jnp.bfloat16)
+            r1 = lhs - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            wb = wmat.astype(jnp.bfloat16)  # ±1/±0.5: exact
+            dims = (((1,), (0,)), ((), ()))
+            sums = (
+                jax.lax.dot_general(
+                    hi, wb, dims, preferred_element_type=jnp.float32
+                )
+                + jax.lax.dot_general(
+                    mid, wb, dims, preferred_element_type=jnp.float32
+                )
+                + jax.lax.dot_general(
+                    lo, wb, dims, preferred_element_type=jnp.float32
+                )
             )  # (CHUNK, 16); cols 9..15 are zero by wmat
             out_s[slot, :, 0:16] = sums
 

@@ -1,0 +1,111 @@
+"""Stage-1 (HumanEdit) train-step benchmark at production scale.
+
+Constructs the spatial geometry-edit trainer at the reference's operating
+point — 512×512 renders, grid_res 64, production field/budget defaults,
+`geometry-edit.yaml` hyperparameters — with the stub diffusion prior (the
+SDS UNet is a frozen external model whose cost depends on the mounted
+weights; this measures the FRAMEWORK's per-step cost: partitioned
+isosurface extraction through the live hash-grid field, compaction + 8×
+subdivision, differentiable mesh raster at 512² local+global, SDS loss
+plumbing, recon/control SDF losses over 30k sampled points, AdamW).
+
+The reference runs this loop 10,000 times per edit (`geometry-edit.yaml:76`)
+on an A6000; steps/s here bounds the stage-1 wall clock on TPU.
+
+Prints one JSON line (same shape as bench.py); the committed artifact is
+SPATIAL_BENCH_r{N}.json.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from youreditableavatar_tpu.data.camera_sampler import RandomCameraConfig
+from youreditableavatar_tpu.guidance import (
+    SDSConfig,
+    SDSGuidance,
+    StubDiffusionPrior,
+    StubPromptEncoder,
+)
+from youreditableavatar_tpu.guidance.prompts import PromptProcessor
+from youreditableavatar_tpu.models.geometry import TetGeometry
+from youreditableavatar_tpu.models.sdf import SDFField, SDFFieldConfig
+from youreditableavatar_tpu.ops.mesh_raster import MeshRasterConfig
+from youreditableavatar_tpu.stages.spatial import (
+    HumanEditConfig,
+    HumanEditTrainer,
+)
+
+GRID_RES = 64
+HW = 512
+WARM_STEPS = 6  # compiles both the local and global step functions
+TIME_STEPS = 30
+
+
+def main():
+    field = SDFField(SDFFieldConfig(sdf_bias="sphere", sdf_bias_radius=0.45))
+    params = field.init_params(jax.random.PRNGKey(0))
+    geometry = TetGeometry(field, GRID_RES)
+
+    mt = geometry.isosurface(params)
+    fc = np.asarray(mt.verts)[np.asarray(mt.faces)].mean(1)
+    edit_faces = jnp.asarray(fc[:, 2] > 0.1) & mt.faces_valid
+    part = geometry.partition_init(params, edit_faces, frozen_mt=mt)
+
+    prior = StubDiffusionPrior()
+    guidance = SDSGuidance(prior, SDSConfig(guidance_scale=7.5))
+    enc = StubPromptEncoder()
+    prompts = PromptProcessor(
+        "a red down jacket", "low quality", enc,
+        cache_dir="/tmp/bench_prompt_cache", model_name="stub-bench",
+    )
+    cfg = HumanEditConfig(
+        camera=RandomCameraConfig(height=HW, width=HW),
+    )
+    trainer = HumanEditTrainer(
+        field, geometry, part, params, guidance, prompts, prompts, cfg,
+        MeshRasterConfig(),
+    )
+
+    key = jax.random.PRNGKey(1)
+    keys = jax.random.split(key, WARM_STEPS + TIME_STEPS)
+    for k in range(WARM_STEPS):
+        trainer.train_step(keys[k])
+
+    t0 = time.perf_counter()
+    for k in range(TIME_STEPS):
+        trainer.train_step(keys[WARM_STEPS + k])
+    dt = (time.perf_counter() - t0) / TIME_STEPS
+
+    losses = [m["loss"] for m in trainer.metrics[-TIME_STEPS:]]
+    assert all(np.isfinite(v) for v in losses), "non-finite loss in bench"
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_edit_steps_per_s_512",
+                "value": 1.0 / dt,
+                "unit": "steps/s",
+                "detail": {
+                    "step_ms": dt * 1e3,
+                    "grid_res": GRID_RES,
+                    "image_hw": HW,
+                    "guidance": "stub (UNet cost excluded)",
+                    "mesh_raster_backend": MeshRasterConfig().backend,
+                    "reference_budget_steps": 10000,
+                    "projected_stage1_minutes": 10000 * dt / 60.0,
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -132,7 +132,7 @@ def main():
 
     packed = jax.jit(lambda pr: _forward_call(
         pr, astart, counts, ntx, nty, ts, False))(pair_rows)
-    cot = jnp.ones_like(packed)
+    cot = jnp.ones_like(packed)[:, :4]  # dr, dg, db, dT (count: stop-grad)
     t = chain(
         lambda pr: _backward_call(
             pr, astart, counts, packed, cot, ntx, nty, ts, False),

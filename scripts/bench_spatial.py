@@ -49,15 +49,22 @@ WARM_STEPS = 6  # compiles both the local and global step functions
 TIME_STEPS = 30
 
 
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     field = SDFField(SDFFieldConfig(sdf_bias="sphere", sdf_bias_radius=0.45))
     params = field.init_params(jax.random.PRNGKey(0))
     geometry = TetGeometry(field, GRID_RES)
+    log("field + geometry built")
 
     mt = geometry.isosurface(params)
+    log(f"isosurface: {int(mt.num_verts)} verts {int(mt.num_faces)} faces")
     fc = np.asarray(mt.verts)[np.asarray(mt.faces)].mean(1)
     edit_faces = jnp.asarray(fc[:, 2] > 0.1) & mt.faces_valid
     part = geometry.partition_init(params, edit_faces, frozen_mt=mt)
+    log("partition_init done")
 
     prior = StubDiffusionPrior()
     guidance = SDSGuidance(prior, SDSConfig(guidance_scale=7.5))
@@ -73,11 +80,13 @@ def main():
         field, geometry, part, params, guidance, prompts, prompts, cfg,
         MeshRasterConfig(),
     )
+    log("trainer built")
 
     key = jax.random.PRNGKey(1)
     keys = jax.random.split(key, WARM_STEPS + TIME_STEPS)
     for k in range(WARM_STEPS):
         trainer.train_step(keys[k])
+        log(f"warm step {k} done")
 
     t0 = time.perf_counter()
     for k in range(TIME_STEPS):

@@ -63,6 +63,14 @@ class Partition(NamedTuple):
     keep_mesh: MTOutput  # cached fine keep-region surface
     keep_fine_pos: Array  # subdivided keep vertices (diagnostics/export)
     keep_fine_sdf: Array
+    # Exact-size index forms of the masks (host-computed once at
+    # partition_init; static shapes for the jitted step). The per-step
+    # surface extraction touches O(update region), not O(grid): at the
+    # production scale (grid 64 → 275k verts / 1.6M tets) evaluating the
+    # live hash-grid field over all vertices and compacting over all tets
+    # cost several seconds per step.
+    live_vert_idx: Array  # (Lv,) int32 — vertices that read the live field
+    update_tet_idx: Array  # (Lt,) int32 — tets in the update region
 
 
 class TetGeometry:
@@ -161,6 +169,10 @@ class TetGeometry:
             self.budgets.fine_mt_verts, self.budgets.fine_mt_faces,
             tet_valid=child_valid,
         )
+        # Exact-size index sets (partition_init runs eagerly, so the sizes
+        # can be data-dependent here while staying static for the step jit).
+        live_idx = np.flatnonzero(np.asarray(live_mask)).astype(np.int32)
+        upd_idx = np.flatnonzero(np.asarray(update_mask)).astype(np.int32)
         return Partition(
             update_tet_mask=update_mask,
             keep_tet_mask=keep_mask,
@@ -170,6 +182,8 @@ class TetGeometry:
             keep_mesh=jax.tree_util.tree_map(jax.lax.stop_gradient, keep_mesh),
             keep_fine_pos=fine_pos,
             keep_fine_sdf=fine_sdf,
+            live_vert_idx=jnp.asarray(live_idx),
+            update_tet_idx=jnp.asarray(upd_idx),
         )
 
     # ---- per-step update surface (jittable) --------------------------------
@@ -186,18 +200,25 @@ class TetGeometry:
         update-exclusive vertices (`_part_isosurface` dual-MLP semantics,
         `geometry/base.py:376-456`); then budgeted compaction + one live
         subdivision + marching tets restricted to update tets.
-        """
-        live_sdf = self.field.forward_sdf_chunked(
-            params, self.grid_pos, level_mask=level_mask
-        )
-        sdf = jnp.where(part.live_vert_mask, live_sdf, part.frozen_sdf)
 
+        Work scales with the UPDATE REGION, not the grid: the live field is
+        evaluated only at `part.live_vert_idx` (hash-grid gathers + their
+        scatter-add VJP over the full 275k-vertex grid measured seconds per
+        step at grid 64) and compaction scans only `part.update_tet_idx`.
+        """
+        live_idx = part.live_vert_idx
+        live_vals = self.field.forward_sdf(
+            params, self.grid_pos[live_idx], level_mask=level_mask
+        )
+        sdf = part.frozen_sdf.at[live_idx].set(live_vals)
+
+        upd_tets = self.grid_tets[part.update_tet_idx]
         idx, valid, _ = compact_tets(
-            self.grid_pos, sdf, self.grid_tets, self.budgets.compact,
-            tet_mask=part.update_tet_mask, corner_threshold=self.spacing,
+            self.grid_pos, sdf, upd_tets, self.budgets.compact,
+            corner_threshold=self.spacing,
         )
         sel = valid
-        sub_tets = self.grid_tets[idx]
+        sub_tets = upd_tets[idx]
         fine_pos, _, child_tets, child_valid, _ = subdivide_tets(
             self.grid_pos, sdf, sub_tets, sel, self.budgets.subdiv_mid
         )

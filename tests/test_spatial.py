@@ -281,6 +281,24 @@ class TestHumanEditSmoke:
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        atol=1e-6, rtol=1e-5)
 
+    def test_restore_like_nonalphabetical_namedtuple(self):
+        """Orbax restores NamedTuple optimizer states as dicts iterated in
+        sorted-key order; restore_like must rebuild by FIELD NAME so states
+        whose field order is not alphabetical round-trip correctly (a
+        flattened-order unflatten would permute `zeta` and `alpha` here)."""
+        import collections
+        from youreditableavatar_tpu.utils.checkpoint import restore_like
+
+        St = collections.namedtuple("St", ["zeta", "alpha"])
+        live = St(zeta=jnp.zeros((2,)), alpha=jnp.zeros((3,)))
+        # what orbax hands back: a plain dict (sorted-key iteration order
+        # alpha, zeta — the reverse of field order)
+        restored = {"zeta": np.full((2,), 7.0), "alpha": np.full((3,), 9.0)}
+        out = restore_like(live, restored)
+        assert isinstance(out, St)
+        np.testing.assert_array_equal(np.asarray(out.zeta), 7.0)
+        np.testing.assert_array_equal(np.asarray(out.alpha), 9.0)
+
     def test_image_guided_and_nc_sub(self, tmp_path):
         """use_additional_input losses + NC-sub switch + visual
         checkpoints + progressive level mask (VERDICT r1 items 6/7/9)."""

@@ -58,12 +58,14 @@ def bin_gaussians(
 
     # (1) Depth order over gaussians (invalid ones have tiles_touched == 0 and
     # drop out of the expansion regardless of their position). Single-key
-    # sort on the standard order-preserving int view of the f32 depth
-    # (negative floats complemented) + stable payload — a 2-key
-    # lexicographic lax.sort costs several times more comparator passes for
-    # the same deterministic (depth, index) order.
+    # sort on an order-preserving int view of the f32 depth + stable
+    # payload — a 2-key lexicographic lax.sort costs several times more
+    # comparator passes for the same deterministic (depth, index) order.
+    # Under lax.sort's *signed* int32 comparison the correct view keeps
+    # negative floats negative with reversed order: flip all bits except the
+    # sign bit (bits ^ 0x7FFFFFFF); positive floats are already ordered.
     bits = jax.lax.bitcast_convert_type(proj.depth, jnp.int32)
-    depth_key = jnp.where(bits < 0, ~bits, bits)
+    depth_key = jnp.where(bits < 0, bits ^ jnp.int32(0x7FFFFFFF), bits)
     _, order = jax.lax.sort(
         (depth_key, jnp.arange(n, dtype=jnp.int32)),
         num_keys=1, is_stable=True,

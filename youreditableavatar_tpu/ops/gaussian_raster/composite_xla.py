@@ -119,8 +119,12 @@ def composite_tiles_xla(
     Returns:
       rgb: (T, 3, PIX) accumulated color (no background).
       final_t: (T, PIX) final transmittance.
-      n_contrib: (T, PIX) int32 contributing-gaussian count per pixel
-        (the reference forward's n_contrib diagnostic, forward.cu:330-371).
+      n_contrib: (T, PIX) int32 count of gaussians that actually contributed
+        (passed the α test) per pixel. NOTE: the reference's diagnostic
+        (forward.cu:330-371) stores last_contributor — the 1-based rank of
+        the last contributor *including* α-skipped pairs in the prefix — so
+        the two diverge whenever a prefix pair fails the α test. Ours is a
+        contributor count, not a rank; diagnostic-only (stop-gradient).
     """
     num_t, _, cap = pair_data.shape
     if cap % chunk != 0:

@@ -227,8 +227,9 @@ def render_gaussians(
     rgb, final_t = assemble_image(
         rgb_tiles, t_tiles, ntx, nty, ts, camera.width, camera.height
     )
-    # Per-pixel contributing-gaussian count (reference n_contrib
-    # diagnostic, forward.cu:330-371) — assembled like final_t.
+    # Per-pixel contributor *count* (cf. the reference's last-contributor
+    # *rank* diagnostic, forward.cu:330-371 — they diverge when prefix
+    # pairs fail the α test) — assembled like final_t.
     cnt = cnt_tiles.reshape(nty, ntx, ts, ts)
     cnt = jnp.transpose(cnt, (0, 2, 1, 3)).reshape(nty * ts, ntx * ts)
     cnt = jax.lax.stop_gradient(

@@ -620,17 +620,15 @@ class HumanEditTrainer:
             resuming from before `start_sdf_loss_step`) it will be taken at
             the boundary exactly as in an uninterrupted run.
         """
-        from youreditableavatar_tpu.utils.checkpoint import load_state
+        from youreditableavatar_tpu.utils.checkpoint import (
+            load_state, restore_like)
 
         state = load_state(path)
         self.params = jax.tree_util.tree_map(jnp.asarray, state["params"])
         if "opt_state" in state:
-            restored = jax.tree_util.tree_map(
-                jnp.asarray, state["opt_state"])
-            self.opt_state = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(self.opt_state),
-                jax.tree_util.tree_leaves(restored),
-            )
+            # Name-aware rebuild: orbax restores optax NamedTuple states as
+            # dicts whose sorted-key order need not match field order.
+            self.opt_state = restore_like(self.opt_state, state["opt_state"])
         self.global_step = int(state["step"])
         extra = state.get("extra") or {}
         ctrl = extra.get("control_sdf") if isinstance(extra, dict) else None

@@ -65,6 +65,38 @@ def load_state(path: str, template: Optional[Any] = None) -> Dict[str, Any]:
     return ckptr.restore(path)
 
 
+def restore_like(template: Any, restored: Any) -> Any:
+    """Rebuild `restored` (orbax's dict-of-dicts form) into `template`'s
+    pytree structure, matching children BY NAME, not by flattened order.
+
+    Orbax serializes NamedTuples (e.g. optax optimizer states) as dicts;
+    `tree_unflatten(structure(template), tree_leaves(restored))` silently
+    permutes leaves whenever a NamedTuple's field order differs from the
+    dict's sorted-key iteration order. This walks the template instead:
+    NamedTuples are reconstructed field-by-field from the restored dict,
+    dicts by key, sequences by index, leaves as-is.
+    """
+    if restored is None:  # orbax stores empty containers (EmptyState) as None
+        return template
+    if hasattr(template, "_fields"):  # NamedTuple (optax states)
+        fields = template._fields
+        if isinstance(restored, dict):
+            children = [restore_like(getattr(template, f), restored[f])
+                        for f in fields]
+        else:  # already a matching tuple
+            children = [restore_like(getattr(template, f), r)
+                        for f, r in zip(fields, restored)]
+        return type(template)(*children)
+    if isinstance(template, dict):
+        return {k: restore_like(v, restored[k]) for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        seq = [restore_like(t, r) for t, r in zip(template, restored)]
+        return type(template)(seq) if isinstance(template, list) else tuple(seq)
+    if template is None:
+        return None
+    return jax.numpy.asarray(restored)
+
+
 def load_module_weights(
     path: str,
     module_prefix: str,

@@ -128,21 +128,20 @@ class TestSegmenter:
         assert info["editing_mask_faces"].sum() > 0
 
 
-class TestConverter:
-    def test_structure_roundtrip(self, params):
-        """Synthesized torch-style state dict converts back to params that
-        produce identical outputs (guards key naming vs the official
-        segment_anything checkpoint layout)."""
-        sd = {}
+def synth_state_dict(params):
+    """params → torch-style state dict in the official `segment_anything`
+    checkpoint layout (numpy values)."""
+    sd = {}
 
-        def put_lin(prefix, lp):
-            sd[prefix + ".weight"] = np.asarray(lp["w"]).T.copy()
-            sd[prefix + ".bias"] = np.asarray(lp["b"])
+    def put_lin(prefix, lp):
+        sd[prefix + ".weight"] = np.asarray(lp["w"]).T.copy()
+        sd[prefix + ".bias"] = np.asarray(lp["b"])
 
-        def put_norm(prefix, npr):
-            sd[prefix + ".weight"] = np.asarray(npr["scale"])
-            sd[prefix + ".bias"] = np.asarray(npr["bias"])
+    def put_norm(prefix, npr):
+        sd[prefix + ".weight"] = np.asarray(npr["scale"])
+        sd[prefix + ".bias"] = np.asarray(npr["bias"])
 
+    if True:  # keep the original indentation block
         enc = params["encoder"]
         sd["image_encoder.patch_embed.proj.weight"] = np.transpose(
             np.asarray(enc["patch"]["w"]), (3, 2, 0, 1)).copy()
@@ -225,7 +224,334 @@ class TestConverter:
             prm["not_a_point"])
         sd["prompt_encoder.no_mask_embed.weight"] = np.asarray(
             prm["no_mask"])
+    return sd
 
+
+# --------------------------------------------------------------------------
+# Torch-functional reference: a faithful re-statement of the official
+# `segment_anything` forward semantics (image_encoder.py, prompt_encoder.py,
+# mask_decoder.py, transformer.py), parameterized by the synthesized state
+# dict — an independent oracle for the JAX port + converter numerics.
+# --------------------------------------------------------------------------
+
+
+def _t(sd, k):
+    return torch.from_numpy(np.asarray(sd[k], np.float32))
+
+
+def _tlin(x, sd, pre):
+    return torch.nn.functional.linear(x, _t(sd, pre + ".weight"),
+                                      _t(sd, pre + ".bias"))
+
+
+def _tln(x, sd, pre, eps=1e-6):
+    return torch.nn.functional.layer_norm(
+        x, (x.shape[-1],), _t(sd, pre + ".weight"), _t(sd, pre + ".bias"),
+        eps=eps)
+
+
+def _tln2d(x, sd, pre, eps=1e-6):
+    # official LayerNorm2d: normalize over the CHANNEL dim of NCHW
+    w, b = _t(sd, pre + ".weight"), _t(sd, pre + ".bias")
+    u = x.mean(1, keepdim=True)
+    s = (x - u).pow(2).mean(1, keepdim=True)
+    x = (x - u) / torch.sqrt(s + eps)
+    return w[:, None, None] * x + b[:, None, None]
+
+
+def _window_partition_t(x, window):
+    b, h, w, c = x.shape
+    pad_h = (window - h % window) % window
+    pad_w = (window - w % window) % window
+    if pad_h or pad_w:
+        x = torch.nn.functional.pad(x, (0, 0, 0, pad_w, 0, pad_h))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.view(b, hp // window, window, wp // window, window, c)
+    wins = x.permute(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c)
+    return wins, (hp, wp)
+
+
+def _window_unpartition_t(wins, window, pad_hw, hw):
+    hp, wp = pad_hw
+    h, w = hw
+    b = wins.shape[0] // (hp * wp // window // window)
+    x = wins.view(b, hp // window, wp // window, window, window, -1)
+    x = x.permute(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w, :]
+
+
+def _add_decomposed_rel_pos_t(attn, q, rel_h, rel_w, q_size, k_size):
+    q_h, q_w = q_size
+    k_h, k_w = k_size
+    # get_rel_pos for q==k: table indexed by coord difference
+    coords_h = torch.arange(q_h)[:, None] - torch.arange(k_h)[None, :] \
+        + (k_h - 1)
+    coords_w = torch.arange(q_w)[:, None] - torch.arange(k_w)[None, :] \
+        + (k_w - 1)
+    rh = rel_h[coords_h]  # (q_h, k_h, hd)
+    rw = rel_w[coords_w]
+    b, _, dim = q.shape
+    r_q = q.reshape(b, q_h, q_w, dim)
+    rel_h_term = torch.einsum("bhwc,hkc->bhwk", r_q, rh)
+    rel_w_term = torch.einsum("bhwc,wkc->bhwk", r_q, rw)
+    attn = attn.view(b, q_h, q_w, k_h, k_w) \
+        + rel_h_term[:, :, :, :, None] + rel_w_term[:, :, :, None, :]
+    return attn.view(b, q_h * q_w, k_h * k_w)
+
+
+def _encoder_attention_t(x, sd, pre, heads):
+    # official image_encoder.Attention.forward with use_rel_pos=True
+    b, h, w, _ = x.shape
+    qkv = _tlin(x, sd, pre + ".qkv")
+    qkv = qkv.reshape(b, h * w, 3, heads, -1).permute(2, 0, 3, 1, 4)
+    q, k, v = qkv.reshape(3, b * heads, h * w, -1).unbind(0)
+    hd = q.shape[-1]
+    attn = (q * hd ** -0.5) @ k.transpose(-2, -1)
+    attn = _add_decomposed_rel_pos_t(
+        attn, q, _t(sd, pre + ".rel_pos_h"), _t(sd, pre + ".rel_pos_w"),
+        (h, w), (h, w))
+    attn = attn.softmax(dim=-1)
+    x = (attn @ v).view(b, heads, h, w, -1).permute(0, 2, 3, 1, 4)
+    x = x.reshape(b, h, w, -1)
+    return _tlin(x, sd, pre + ".proj")
+
+
+def torch_sam_encoder(sd, img, cfg):
+    """img: (B, 3, S, S) torch NCHW → (B, g, g, neck_dim) numpy."""
+    x = torch.nn.functional.conv2d(
+        img, _t(sd, "image_encoder.patch_embed.proj.weight"),
+        _t(sd, "image_encoder.patch_embed.proj.bias"),
+        stride=(cfg.patch, cfg.patch))
+    x = x.permute(0, 2, 3, 1)  # B, g, g, d
+    x = x + _t(sd, "image_encoder.pos_embed")
+    g = x.shape[1]
+    for i in range(cfg.depth):
+        pre = f"image_encoder.blocks.{i}"
+        shortcut = x
+        h = _tln(x, sd, pre + ".norm1")
+        if i in cfg.global_idx:
+            h = _encoder_attention_t(h, sd, pre + ".attn", cfg.heads)
+        else:
+            wins, pad_hw = _window_partition_t(h, cfg.window)
+            wins = _encoder_attention_t(wins, sd, pre + ".attn", cfg.heads)
+            h = _window_unpartition_t(wins, cfg.window, pad_hw, (g, g))
+        x = shortcut + h
+        h = _tln(x, sd, pre + ".norm2")
+        h = _tlin(h, sd, pre + ".mlp.lin1")
+        h = torch.nn.functional.gelu(h)
+        x = x + _tlin(h, sd, pre + ".mlp.lin2")
+    # neck (NCHW convs, LayerNorm2d)
+    x = x.permute(0, 3, 1, 2)
+    x = torch.nn.functional.conv2d(
+        x, _t(sd, "image_encoder.neck.0.weight"), None)
+    x = _tln2d(x, sd, "image_encoder.neck.1")
+    x = torch.nn.functional.conv2d(
+        x, _t(sd, "image_encoder.neck.2.weight"), None, padding=1)
+    x = _tln2d(x, sd, "image_encoder.neck.3")
+    return x.permute(0, 2, 3, 1).numpy()
+
+
+def _pe_encoding_t(coords, gaussian):
+    c = (2.0 * coords - 1.0) @ gaussian * (2.0 * np.pi)
+    return torch.cat([torch.sin(c), torch.cos(c)], dim=-1)
+
+
+def torch_sam_box_tokens(sd, box, img_size):
+    """official PromptEncoder._embed_boxes."""
+    gaussian = _t(
+        sd, "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix")
+    coords = (box.reshape(-1, 2, 2) + 0.5) / img_size
+    emb = _pe_encoding_t(coords, gaussian)
+    emb[:, 0, :] += _t(sd, "prompt_encoder.point_embeddings.2.weight")[0]
+    emb[:, 1, :] += _t(sd, "prompt_encoder.point_embeddings.3.weight")[0]
+    return emb
+
+
+def torch_sam_dense_pe(sd, g):
+    """official PositionEmbeddingRandom.forward((g, g)) → (g, g, D)."""
+    gaussian = _t(
+        sd, "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix")
+    grid = torch.ones((g, g))
+    y = (grid.cumsum(0) - 0.5) / g
+    x = (grid.cumsum(1) - 0.5) / g
+    return _pe_encoding_t(torch.stack([x, y], -1), gaussian)
+
+
+def _decoder_attention_t(q, k, v, sd, pre, heads):
+    q = _tlin(q, sd, pre + ".q_proj")
+    k = _tlin(k, sd, pre + ".k_proj")
+    v = _tlin(v, sd, pre + ".v_proj")
+    b, n, c = q.shape
+
+    def sep(x):
+        return x.reshape(b, x.shape[1], heads, c // heads).transpose(1, 2)
+
+    q, k, v = sep(q), sep(k), sep(v)
+    attn = q @ k.permute(0, 1, 3, 2) / ((c // heads) ** 0.5)
+    attn = torch.softmax(attn, dim=-1)
+    out = (attn @ v).transpose(1, 2).reshape(b, n, c)
+    return _tlin(out, sd, pre + ".out_proj")
+
+
+def _mlp3_t(x, sd, pre):
+    x = torch.relu(_tlin(x, sd, pre + ".layers.0"))
+    x = torch.relu(_tlin(x, sd, pre + ".layers.1"))
+    return _tlin(x, sd, pre + ".layers.2")
+
+
+def torch_sam_decoder(sd, image_embed, box_tokens, cfg):
+    """official MaskDecoder.predict_masks + TwoWayTransformer."""
+    md = "mask_decoder."
+    b, g, _, d = image_embed.shape
+    out_tok = torch.cat([_t(sd, md + "iou_token.weight"),
+                         _t(sd, md + "mask_tokens.weight")], dim=0)
+    tokens = torch.cat(
+        [out_tok.unsqueeze(0).expand(b, -1, -1), box_tokens], dim=1)
+    src = image_embed.reshape(b, g * g, d) \
+        + _t(sd, "prompt_encoder.no_mask_embed.weight")[0]
+    pos = torch_sam_dense_pe(sd, g).reshape(1, g * g, d)
+
+    queries, keys = tokens, src
+    i = 0
+    while f"{md}transformer.layers.{i}.self_attn.q_proj.weight" in sd:
+        pre = f"{md}transformer.layers.{i}"
+        if i == 0:  # skip_first_layer_pe
+            queries = _decoder_attention_t(
+                queries, queries, queries, sd, pre + ".self_attn",
+                cfg.decoder_heads)
+        else:
+            q = queries + tokens
+            queries = queries + _decoder_attention_t(
+                q, q, queries, sd, pre + ".self_attn", cfg.decoder_heads)
+        queries = _tln(queries, sd, pre + ".norm1", eps=1e-5)
+        q = queries + tokens
+        k = keys + pos
+        queries = queries + _decoder_attention_t(
+            q, k, keys, sd, pre + ".cross_attn_token_to_image",
+            cfg.decoder_heads)
+        queries = _tln(queries, sd, pre + ".norm2", eps=1e-5)
+        h = torch.relu(_tlin(queries, sd, pre + ".mlp.lin1"))
+        queries = queries + _tlin(h, sd, pre + ".mlp.lin2")
+        queries = _tln(queries, sd, pre + ".norm3", eps=1e-5)
+        q = queries + tokens
+        k = keys + pos
+        keys = keys + _decoder_attention_t(
+            k, q, queries, sd, pre + ".cross_attn_image_to_token",
+            cfg.decoder_heads)
+        keys = _tln(keys, sd, pre + ".norm4", eps=1e-5)
+        i += 1
+    q = queries + tokens
+    k = keys + pos
+    queries = queries + _decoder_attention_t(
+        q, k, keys, sd, md + "transformer.final_attn_token_to_image",
+        cfg.decoder_heads)
+    queries = _tln(queries, sd, md + "transformer.norm_final_attn",
+                   eps=1e-5)
+
+    iou_out = queries[:, 0]
+    mask_toks = queries[:, 1:1 + cfg.num_mask_tokens]
+    srcim = keys.transpose(1, 2).reshape(b, d, g, g)
+    up = torch.nn.functional.conv_transpose2d(
+        srcim, _t(sd, md + "output_upscaling.0.weight"),
+        _t(sd, md + "output_upscaling.0.bias"), stride=2)
+    up = torch.nn.functional.gelu(_tln2d(up, sd, md + "output_upscaling.1"))
+    up = torch.nn.functional.conv_transpose2d(
+        up, _t(sd, md + "output_upscaling.3.weight"),
+        _t(sd, md + "output_upscaling.3.bias"), stride=2)
+    up = torch.nn.functional.gelu(up)  # (b, d/8, 4g, 4g)
+    hyper = torch.stack(
+        [_mlp3_t(mask_toks[:, i], sd,
+                 f"{md}output_hypernetworks_mlps.{i}")
+         for i in range(cfg.num_mask_tokens)], dim=1)
+    c4 = up.shape[1]
+    masks = (hyper @ up.reshape(b, c4, -1)).reshape(
+        b, cfg.num_mask_tokens, up.shape[2], up.shape[3])
+    iou = _mlp3_t(iou_out, sd, md + "iou_prediction_head")
+    return masks.numpy(), iou.numpy()
+
+
+class TestTorchNumericsParity:
+    """Full-tower numerics vs the torch-functional official-semantics
+    oracle above (the treatment ControlNet/GDINO got in round 3): encoder
+    with windowed attention + decomposed rel-pos + neck, the box prompt
+    encoder, and the two-way-transformer mask decoder with upscaling +
+    hypernetwork + IoU head. Fails on any converter or kernel drift."""
+
+    def _params_sd(self, key, cfg):
+        from youreditableavatar_tpu.guidance.sam import init_sam_params
+
+        params = init_sam_params(jax.random.PRNGKey(key), cfg)
+        return params, synth_state_dict(params)
+
+    def test_encoder_full_forward_matches_torch(self, params):
+        sd = synth_state_dict(params)
+        rng = np.random.default_rng(11)
+        img = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+        ref = torch_sam_encoder(
+            sd, torch.from_numpy(img).permute(0, 3, 1, 2), TEST_SAM)
+        got = np.asarray(sam_encode_image(
+            convert_torch_sam(sd), jnp.asarray(img), TEST_SAM))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+    def test_encoder_padded_window_matches_torch(self):
+        """window=3 forces the pad/unpad path (grid 4 → padded 6)."""
+        from youreditableavatar_tpu.guidance.sam import SAMConfig
+
+        cfg = SAMConfig(img_size=64, embed_dim=32, depth=2, heads=4,
+                        window=3, global_idx=(1,), neck_dim=16,
+                        decoder_heads=4)
+        _, sd = self._params_sd(5, cfg)
+        rng = np.random.default_rng(12)
+        img = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+        ref = torch_sam_encoder(
+            sd, torch.from_numpy(img).permute(0, 3, 1, 2), cfg)
+        got = np.asarray(sam_encode_image(
+            convert_torch_sam(sd), jnp.asarray(img), cfg))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+    def test_box_tokens_match_torch(self, params):
+        sd = synth_state_dict(params)
+        box = np.asarray([[8.0, 8.0, 40.0, 56.0],
+                          [0.0, 16.0, 64.0, 48.0]], np.float32)
+        ref = torch_sam_box_tokens(sd, torch.from_numpy(box), 64).numpy()
+        got = np.asarray(sam_encode_box(
+            convert_torch_sam(sd), jnp.asarray(box), 64))
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+    def test_dense_pe_matches_torch(self, params):
+        from youreditableavatar_tpu.guidance.sam import sam_dense_pe
+
+        sd = synth_state_dict(params)
+        ref = torch_sam_dense_pe(sd, 4).numpy()
+        got = np.asarray(sam_dense_pe(convert_torch_sam(sd), 4))
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+    def test_decoder_full_forward_matches_torch(self, params):
+        sd = synth_state_dict(params)
+        rng = np.random.default_rng(13)
+        emb = rng.normal(size=(2, 4, 4, TEST_SAM.neck_dim)) \
+            .astype(np.float32)
+        box = np.asarray([[8.0, 8.0, 40.0, 56.0],
+                          [16.0, 0.0, 48.0, 64.0]], np.float32)
+        toks_t = torch_sam_box_tokens(sd, torch.from_numpy(box), 64)
+        ref_m, ref_iou = torch_sam_decoder(
+            sd, torch.from_numpy(emb), toks_t, TEST_SAM)
+        p2 = convert_torch_sam(sd)
+        toks = sam_encode_box(p2, jnp.asarray(box), 64)
+        got_m, got_iou = sam_decode_masks(
+            p2, jnp.asarray(emb), toks, TEST_SAM)
+        np.testing.assert_allclose(np.asarray(got_m), ref_m, atol=3e-5,
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_iou), ref_iou, atol=3e-5,
+                                   rtol=1e-4)
+
+
+class TestConverter:
+    def test_structure_roundtrip(self, params):
+        """Synthesized torch-style state dict converts back to params that
+        produce identical outputs (guards key naming vs the official
+        segment_anything checkpoint layout)."""
+        sd = synth_state_dict(params)
         p2 = convert_torch_sam(sd)
         img = jax.random.uniform(jax.random.PRNGKey(7), (1, 64, 64, 3))
         e1 = sam_encode_image(params, img, TEST_SAM)

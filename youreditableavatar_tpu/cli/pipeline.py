@@ -130,6 +130,11 @@ class PipelineScale:
                 mt_verts=4096, mt_faces=8192, compact=4096,
                 subdiv_mid=16384, fine_mt_verts=16384, fine_mt_faces=32768,
             ),
+            # Budgets here are INITIAL HINTS only: the texture trainers
+            # auto-size from an exact count pre-pass at init, and every
+            # trainer's BudgetGovernor grows them on runtime overflow
+            # (ops/gaussian_raster/budget.py) — nothing trains on a
+            # silently truncated render.
             raster=RasterizeConfig(
                 backend="auto", pair_budget=1 << 13, tile_capacity=512
             ),

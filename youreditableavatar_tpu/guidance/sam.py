@@ -45,9 +45,19 @@ from youreditableavatar_tpu.guidance.sd_layers import (
 
 
 def layer_norm(x: Array, p: Params) -> Array:
-    """SAM builds every LayerNorm (ViT blocks, neck LayerNorm2d, decoder)
-    with eps=1e-6 — deviations compound over ViT-H's 32 blocks."""
+    """Encoder-side LayerNorm: build_sam constructs the ViT blocks with
+    partial(nn.LayerNorm, eps=1e-6), and LayerNorm2d (neck + decoder
+    upscaling) defaults to eps=1e-6 — deviations compound over ViT-H's 32
+    blocks."""
     return _layer_norm_eps(x, p, eps=1e-6)
+
+
+def layer_norm_dec(x: Array, p: Params) -> Array:
+    """Decoder-transformer LayerNorm: the official TwoWayTransformer /
+    TwoWayAttentionBlock norms are plain nn.LayerNorm (default eps=1e-5),
+    unlike the encoder's 1e-6 (pinned by
+    test_sam.py::TestTorchNumericsParity)."""
+    return _layer_norm_eps(x, p, eps=1e-5)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -318,22 +328,22 @@ def sam_decode_masks(
         if i == 0:
             # skip_first_layer_pe: the first self-attention REPLACES the
             # queries (no PE add, no residual) before norm1.
-            q = layer_norm(_attn(q, q, q, lp["self_attn"],
-                                 cfg.decoder_heads), lp["ln1"])
+            q = layer_norm_dec(_attn(q, q, q, lp["self_attn"],
+                                     cfg.decoder_heads), lp["ln1"])
         else:
             qq = q + tokens
-            q = layer_norm(q + _attn(qq, qq, q, lp["self_attn"],
-                                     cfg.decoder_heads), lp["ln1"])
-        q = layer_norm(
+            q = layer_norm_dec(q + _attn(qq, qq, q, lp["self_attn"],
+                                         cfg.decoder_heads), lp["ln1"])
+        q = layer_norm_dec(
             q + _attn(q + tokens, src + pos, src, lp["cross_t2i"],
                       cfg.decoder_heads), lp["ln2"])
-        q = layer_norm(
+        q = layer_norm_dec(
             q + linear(jax.nn.relu(linear(q, lp["fc1"])), lp["fc2"]),
             lp["ln3"])
-        src = layer_norm(
+        src = layer_norm_dec(
             src + _attn(src + pos, q + tokens, q, lp["cross_i2t"],
                         cfg.decoder_heads), lp["ln4"])
-    q = layer_norm(
+    q = layer_norm_dec(
         q + _attn(q + tokens, src + pos, src, dec["final_attn"],
                   cfg.decoder_heads), dec["norm_final"])
 

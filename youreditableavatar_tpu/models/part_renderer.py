@@ -67,6 +67,8 @@ def render_geometry_maps(
         "mask": mask,
         "depth": depth,
         "face_id": out.face_id,
+        # () int32 true (face, tile) pair total — budget-overflow probe
+        "num_pairs": out.num_pairs,
     }
 
 

@@ -18,6 +18,12 @@ stop, 0.99 alpha clamp) follow the CUDA design point exactly so that rendered
 images and gradients are `allclose` to the reference.
 """
 
+from youreditableavatar_tpu.ops.gaussian_raster.budget import (
+    BudgetGovernor,
+    PairOverflowError,
+    count_pairs,
+    fit_pair_budget,
+)
 from youreditableavatar_tpu.ops.gaussian_raster.render import (
     RasterizeConfig,
     render_gaussians,
@@ -26,8 +32,12 @@ from youreditableavatar_tpu.ops.gaussian_raster.render import (
 from youreditableavatar_tpu.ops.gaussian_raster.types import RasterCamera
 
 __all__ = [
+    "BudgetGovernor",
+    "PairOverflowError",
     "RasterCamera",
     "RasterizeConfig",
+    "count_pairs",
+    "fit_pair_budget",
     "render_gaussians",
     "render_gaussians_checked",
 ]

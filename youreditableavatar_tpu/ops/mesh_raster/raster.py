@@ -51,6 +51,9 @@ class RasterOutput(NamedTuple):
     depth: Array  # (H, W) ndc z of the visible face (Z_FAR background)
     verts_screen: Array  # (V, 2) screen positions (for downstream reuse)
     verts_zw: Array  # (V, 2) (z_ndc, inv_w) per vertex
+    num_pairs: Array  # () int32 true (face, tile) pair total — compare
+    #   against cfg.pair_budget to detect truncation (the CUDA reference
+    #   sizes buffers exactly, rasterizer_impl.cu:277-303; we must detect)
 
 
 def project_vertices(
@@ -412,4 +415,5 @@ def rasterize_mesh(
         depth=depth,
         verts_screen=verts_screen,
         verts_zw=verts_zw,
+        num_pairs=jax.lax.stop_gradient(jnp.sum(counts)),
     )

@@ -44,6 +44,7 @@ from youreditableavatar_tpu.models.tetgs_edit import (
 )
 from youreditableavatar_tpu.models.textured_mesh import TexturedMeshModel
 from youreditableavatar_tpu.ops.gaussian_raster import (
+    BudgetGovernor,
     RasterCamera,
     RasterizeConfig,
 )
@@ -70,6 +71,12 @@ class InpaintConfig:
     # image so the two sides agree (`inpaint_utils.py:80-186`).
     joint_front_back: bool = True
     fb_res: int = 512  # per-side resolution of the joint inpaint
+    # Pair-budget overflow policy (ops.gaussian_raster.budget): "grow"
+    # rebuilds the fit step at a larger budget and refits the view;
+    # "raise" hard-fails; "warn" keeps going on a truncated render.
+    overflow_policy: str = "grow"
+    # Size pair_budget/tile_capacity from an exact count pre-pass at init.
+    auto_size_budget: bool = True
     raster: RasterizeConfig = dataclasses.field(
         default_factory=lambda: RasterizeConfig()
     )
@@ -139,6 +146,21 @@ class InpaintTrainer:
         self.tx = make_edit_optimizer(
             cfg.lr_sh, cfg.lr_opacity, _edit_param_mask()
         )
+        self.governor = BudgetGovernor(
+            policy=cfg.overflow_policy, name="tetgs-inpaint"
+        )
+        if cfg.auto_size_budget:
+            from youreditableavatar_tpu.stages.init_texture import (
+                CameraStack, auto_size_raster_config,
+            )
+
+            self.cfg = cfg = dataclasses.replace(
+                cfg, raster=auto_size_raster_config(
+                    full_gaussian_arrays(binding, params)[:5],
+                    CameraStack(self.cameras, with_images=False),
+                    cfg.raster,
+                )
+            )
         self._fit_step = None
         self.history: List[Dict[str, float]] = []
 
@@ -166,17 +188,20 @@ class InpaintTrainer:
             # the D-SSIM term runs on the full composited target (outside
             # the mask target == current render, so it only shapes the
             # painted region and its surround).
-            return (1.0 - dssim_f) * l1 + dssim_f * dssim(
+            loss = (1.0 - dssim_f) * l1 + dssim_f * dssim(
                 out["image"], target
             )
+            diag = {"num_pairs": out["num_pairs"],
+                    "num_tile_overflow": out["num_tile_overflow"]}
+            return loss, diag
 
         @jax.jit
         def step(params, opt_state, cam_arrs, target, weight):
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, cam_arrs, target, weight
-            )
+            (loss, diag), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, cam_arrs, target, weight)
             updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            return optax.apply_updates(params, updates), opt_state, loss, diag
 
         return step
 
@@ -300,14 +325,34 @@ class InpaintTrainer:
                 1.0, 0.0,
             )
             prev_params = self.params
-            opt_state = self.tx.init(self.params)
             n_iters = max(1, int(self._iters_for_view(vi) * iters_scale))
             cam_arrs = (cam.viewmat, cam.fx, cam.fy, cam.cx, cam.cy)
-            params = self.params
-            for _ in range(n_iters):
-                params, opt_state, loss = self._fit_step(
-                    params, opt_state, cam_arrs, target, weight
-                )
+            # Restart-on-grow: overflow diagnostics are view-dependent, so
+            # probe them on the view's first step; if the governor grows the
+            # budget, rebuild the jitted step and refit the whole view from
+            # the pre-fit params (the truncated first step is discarded).
+            while True:
+                params = prev_params
+                opt_state = self.tx.init(prev_params)
+                regrown = False
+                for it in range(n_iters):
+                    params, opt_state, loss, diag = self._fit_step(
+                        params, opt_state, cam_arrs, target, weight
+                    )
+                    if it == 0:
+                        new_rcfg = self.governor.check(
+                            cfg.raster, diag["num_pairs"],
+                            diag["num_tile_overflow"], step=vi,
+                        )
+                        if new_rcfg is not None:
+                            self.cfg = cfg = dataclasses.replace(
+                                cfg, raster=new_rcfg
+                            )
+                            self._fit_step = self._make_fit_step(h, w)
+                            regrown = True
+                            break
+                if not regrown:
+                    break
             self.params = params
 
             # Back-project the newly painted pixels and roll back gaussians
@@ -397,6 +442,8 @@ class RefineConfig:
     # `tetgs_spatial/utils/perceptual/`); 0 = off.
     lambda_perceptual: float = 0.0
     white_background: bool = True
+    overflow_policy: str = "grow"  # see ops.gaussian_raster.budget
+    auto_size_budget: bool = True
     raster: RasterizeConfig = dataclasses.field(
         default_factory=lambda: RasterizeConfig()
     )
@@ -424,6 +471,21 @@ class RefineTrainer:
             _edit_param_mask(train_positions=True, train_geometry=True),
         )
         self.opt_state = self.tx.init(self.params)
+        self.governor = BudgetGovernor(
+            policy=cfg.overflow_policy, name="tetgs-refine"
+        )
+        if cfg.auto_size_budget:
+            from youreditableavatar_tpu.stages.init_texture import (
+                CameraStack, auto_size_raster_config,
+            )
+
+            self.cfg = cfg = dataclasses.replace(
+                cfg, raster=auto_size_raster_config(
+                    full_gaussian_arrays(self.binding, self.params)[:5],
+                    CameraStack(self.cameras, with_images=False),
+                    cfg.raster,
+                )
+            )
         self.losses: List[float] = []
         self._step = None
         self._lpips = None
@@ -443,6 +505,8 @@ class RefineTrainer:
         def loss_fn(params, cam_arrs, target, weight):
             cam = RasterCamera(*cam_arrs, width=width, height=height)
             out = render_edit_tetgs(binding, params, cam, rcfg, bg)
+            diag = {"num_pairs": out["num_pairs"],
+                    "num_tile_overflow": out["num_tile_overflow"]}
             loss = weight * l1_dssim(out["image"], target, cfg.dssim_factor)
             if lpips_fn is not None:
                 loss = loss + cfg.lambda_perceptual * jnp.mean(
@@ -460,15 +524,15 @@ class RefineTrainer:
                     jnp.sum(jnp.where(bad, max_v, 0.0)) / jnp.maximum(cnt, 1),
                     0.0,
                 )
-            return loss
+            return loss, diag
 
         @jax.jit
         def step(params, opt_state, cam_arrs, target, weight):
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, cam_arrs, target, weight
-            )
+            (loss, diag), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, cam_arrs, target, weight)
             updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            return optax.apply_updates(params, updates), opt_state, loss, diag
 
         return step
 
@@ -489,11 +553,20 @@ class RefineTrainer:
                 jnp.float32,
             )
             cam_arrs = (cam.viewmat, cam.fx, cam.fy, cam.cx, cam.cy)
-            self.params, self.opt_state, loss = self._step(
+            self.params, self.opt_state, loss, diag = self._step(
                 self.params, self.opt_state, cam_arrs, self.images[vi],
                 weight,
             )
             if it % 100 == 0:
+                new_rcfg = self.governor.check(
+                    self.cfg.raster, diag["num_pairs"],
+                    diag["num_tile_overflow"], step=it,
+                )
+                if new_rcfg is not None:
+                    self.cfg = cfg = dataclasses.replace(
+                        self.cfg, raster=new_rcfg
+                    )
+                    self._step = self._make_step(h, w)
                 self.losses.append(float(loss))
         return self.params
 

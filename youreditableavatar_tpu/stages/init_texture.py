@@ -39,8 +39,11 @@ from youreditableavatar_tpu.models.tetgs import (
     scaling_regularizer,
 )
 from youreditableavatar_tpu.ops.gaussian_raster import (
+    BudgetGovernor,
     RasterCamera,
     RasterizeConfig,
+    count_pairs,
+    fit_pair_budget,
     render_gaussians,
 )
 from youreditableavatar_tpu.ops.image_losses import l1_dssim
@@ -56,6 +59,11 @@ class InitTextureConfig:
     scaling_reg_weight: float = 1.0
     log_every: int = 100
     white_background: bool = True
+    # Pair-budget governance (see ops.gaussian_raster.budget): size the
+    # static budget from an exact count pre-pass at init, and grow/raise on
+    # runtime overflow instead of silently truncating renders.
+    auto_size_budget: bool = True
+    overflow_policy: str = "grow"  # "grow" | "raise" | "warn"
     raster: RasterizeConfig = dataclasses.field(
         default_factory=lambda: RasterizeConfig()
     )
@@ -106,6 +114,71 @@ class CameraStack:
         return float(np.linalg.norm(centers - center, axis=-1).max())
 
 
+def auto_size_raster_config(
+    gaussians: Tuple[Array, Array, Array, Array, Optional[Array]],
+    stack: "CameraStack",
+    rcfg: RasterizeConfig,
+    sample: int = 8,
+    headroom: float = 1.3,
+) -> RasterizeConfig:
+    """Exact-count pre-pass over a view sample → bucketed budgets.
+
+    Replaces hard-coded budgets with the reference's runtime-exact sizing
+    (`rasterizer_impl.cu:277-303` InclusiveSum → num_rendered), adapted to
+    XLA static shapes: count pairs AND the max per-tile pair count on
+    ≤`sample` evenly-spaced views, take the max, and pick the next budget
+    buckets with headroom (scales grow during fitting; the runtime
+    BudgetGovernor catches any residual overflow).
+
+    `gaussians` = (means, scales, quats, opacities, sh) — e.g. the output
+    of `gaussian_arrays` / `full_gaussian_arrays(...)[:5]`.
+    """
+    from youreditableavatar_tpu.ops.gaussian_raster.binning import (
+        bin_gaussians,
+    )
+    from youreditableavatar_tpu.ops.gaussian_raster.preprocess import (
+        preprocess_gaussians,
+    )
+
+    means, scales, quats, opac, _ = gaussians
+    # Color never affects tile counts — count with a degree-0 stub SH so the
+    # pre-pass is independent of the caller's SH layout.
+    sh = jnp.zeros((means.shape[0], 1, 3))
+    rcfg0 = dataclasses.replace(rcfg, sh_degree=0)
+    fn = jax.jit(
+        lambda i: count_pairs(
+            means, scales, quats, opac, sh, stack.camera(i), rcfg0
+        )
+    )
+    idxs = np.unique(
+        np.linspace(0, stack.n - 1, min(stack.n, sample)).astype(np.int32)
+    )
+    mx = max(int(fn(jnp.asarray(i, jnp.int32))) for i in idxs)
+    budget = fit_pair_budget(mx, headroom=headroom)
+
+    # Per-tile capacity (xla backend's depth cap): one binning pass per
+    # sample view at the fitted budget gives the exact max tile depth.
+    ts = rcfg.tile_size
+    ntx = -(-stack.width // ts)
+    nty = -(-stack.height // ts)
+
+    @jax.jit
+    def max_tile(i):
+        cam = stack.camera(i)
+        proj = preprocess_gaussians(
+            means, scales, quats, opac, sh, cam, 0, ts,
+            rcfg.scale_mod, None, rect_mode=rcfg.rect_mode,
+        )
+        binning = bin_gaussians(proj, ntx, nty, budget, ts)
+        return jnp.max(binning.tile_count)
+
+    mt = max(int(max_tile(jnp.asarray(i, jnp.int32))) for i in idxs)
+    capacity = fit_pair_budget(mt, headroom=headroom, min_budget=128)
+    return dataclasses.replace(
+        rcfg, pair_budget=budget, tile_capacity=capacity
+    )
+
+
 @register("tetgs-init-trainer")
 class TetGSInitTrainer:
     """Photometric appearance fit over training views."""
@@ -126,6 +199,14 @@ class TetGSInitTrainer:
         self.spatial_extent = self.stack.spatial_extent()
         self.tx = make_tetgs_optimizer(cfg.opt, self.spatial_extent)
         self.opt_state = self.tx.init(params)
+        if cfg.auto_size_budget:
+            self.cfg = cfg = dataclasses.replace(
+                cfg, raster=auto_size_raster_config(
+                    gaussian_arrays(binding, params), self.stack, cfg.raster)
+            )
+        self.governor = BudgetGovernor(
+            policy=cfg.overflow_policy, name="tetgs-init"
+        )
         self._steps: Dict[int, callable] = {}
         self.losses: List[float] = []
         self.stats: List[dict] = []
@@ -137,7 +218,7 @@ class TetGSInitTrainer:
         bg = jnp.ones(3) if cfg.white_background else jnp.zeros(3)
         rcfg = dataclasses.replace(cfg.raster, sh_degree=sh_degree)
 
-        def loss_fn(params: TetGSParams, cam_idx: Array) -> Array:
+        def loss_fn(params: TetGSParams, cam_idx: Array):
             means, scales, quats, opac, sh = gaussian_arrays(binding, params)
             cam = stack.camera(cam_idx)
             out = render_gaussians(
@@ -149,14 +230,18 @@ class TetGSInitTrainer:
                 loss = loss + cfg.scaling_reg_weight * scaling_regularizer(
                     binding, params
                 )
-            return loss
+            diag = {"num_pairs": out["num_pairs"],
+                    "num_tile_overflow": out["num_tile_overflow"]}
+            return loss, diag
 
         @jax.jit
         def step(params, opt_state, cam_idx):
-            loss, grads = jax.value_and_grad(loss_fn)(params, cam_idx)
+            (loss, diag), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, cam_idx
+            )
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return params, opt_state, loss, diag
 
         return step
 
@@ -175,6 +260,8 @@ class TetGSInitTrainer:
         out = {}
         for name, arr in dataclasses.asdict(self.params).items():
             a = jnp.asarray(arr)
+            if a.size == 0:  # e.g. sh_rest at sh_levels=1
+                continue
             out[name] = {
                 "min": float(a.min()), "max": float(a.max()),
                 "mean": float(a.mean()), "std": float(a.std()),
@@ -189,12 +276,25 @@ class TetGSInitTrainer:
         for it in range(n_iter):
             cam_idx = jnp.asarray(rng.integers(0, self.stack.n), jnp.int32)
             step = self.step_fn(it)
-            self.params, self.opt_state, loss = step(
+            self.params, self.opt_state, loss, diag = step(
                 self.params, self.opt_state, cam_idx
             )
             if it % self.cfg.log_every == 0 or it == n_iter - 1:
+                # Pair-budget governance: the reference sizes buffers
+                # exactly per render and cannot overflow; we detect and
+                # grow (or fail) instead of training on truncated renders.
+                new_rcfg = self.governor.check(
+                    self.cfg.raster, diag["num_pairs"],
+                    diag["num_tile_overflow"], step=it,
+                )
+                if new_rcfg is not None:
+                    self.cfg = dataclasses.replace(self.cfg, raster=new_rcfg)
+                    self._steps.clear()  # recompile at the grown budget
                 self.losses.append(float(loss))
                 self.stats.append({"iteration": it, "loss": float(loss),
+                                   "num_pairs": int(diag["num_pairs"]),
+                                   "num_tile_overflow":
+                                       int(diag["num_tile_overflow"]),
                                    **self.param_stats()})
                 if verbose:
                     print(f"[tetgs-init] it {it} loss {float(loss):.5f} "

@@ -286,6 +286,10 @@ class HumanEditConfig:
     start_sdf_loss_step: int = 3000
     recon_points: int = 30000
     log_every: int = 50
+    # Mesh-raster pair-budget overflow policy (ops.gaussian_raster.budget):
+    # "grow" rebuilds the step at a larger budget, "raise" hard-fails,
+    # "warn" continues on a truncated render.
+    overflow_policy: str = "grow"
     # Visual checkpoints: normal-grid dump cadence (`humanedit.py:257-292`),
     # written when `save_dir` is set on the trainer.
     image_every: int = 250
@@ -343,6 +347,11 @@ class HumanEditTrainer:
         self.control_sdf: Optional[Array] = None
         self.global_step = 0
         self.metrics: List[Dict[str, float]] = []
+        from youreditableavatar_tpu.ops.gaussian_raster import BudgetGovernor
+
+        self.governor = BudgetGovernor(
+            policy=cfg.overflow_policy, name="human-edit-mesh"
+        )
         self._step_fns: Dict[bool, Any] = {}
         # Visual checkpoints (normal grids every cfg.image_every steps) are
         # written here when set (`humanedit.py:257-292`).
@@ -433,6 +442,13 @@ class HumanEditTrainer:
                     "recon": loss_recon,
                     "control": loss_ctrl,
                     "nc": loss_nc,
+                    # mesh-raster pair totals (max over the views rendered
+                    # this step) — compared against mesh_cfg.pair_budget by
+                    # the train loop's overflow governor
+                    "mesh_pairs": jnp.maximum(
+                        maps["local_num_pairs"],
+                        maps.get("global_num_pairs", 0),
+                    ).astype(jnp.float32),
                 }
 
                 if cfg.use_additional_input:
@@ -576,6 +592,14 @@ class HumanEditTrainer:
         rec = {"loss": float(loss), **{k: float(v) for k, v in aux.items()}}
         if step_i % cfg.log_every == 0:
             self.metrics.append({"step": step_i, **rec})
+            # Mesh-raster pair-budget governance: grow (rebuild steps) or
+            # fail loudly instead of training on a truncated raster.
+            new_mcfg = self.governor.check(
+                self.mesh_cfg, int(rec["mesh_pairs"]), 0, step=step_i
+            )
+            if new_mcfg is not None:
+                self.mesh_cfg = new_mcfg
+                self._step_fns.clear()
         # Visual checkpoint: the training normal map every image_every steps
         # (`humanedit.py:257-292` normal grids).
         if self.save_dir is not None and step_i % cfg.image_every == 0:

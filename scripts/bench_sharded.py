@@ -106,7 +106,11 @@ def main():
 
     layouts = [(1, 1)]
     if n_dev >= 2:
-        layouts += [(n_dev // 2, 2) if n_dev >= 4 else (1, 2), (n_dev, 1)]
+        # 2-device points isolate the first collective hop (the marginal
+        # cost of going sharded at all) from the full-mesh points.
+        layouts += [(2, 1), (1, 2)]
+    if n_dev >= 4:
+        layouts += [(n_dev // 2, 2), (n_dev, 1)]
     base_rate = None
     for data, tile in layouts:
         if data * tile > n_dev:

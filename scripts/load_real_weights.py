@@ -16,15 +16,21 @@ Expected layout (any subset; missing pieces are skipped with a note):
         tokenizer/                 vocab.json + merges.txt
       sdxl/
         unet.safetensors|pt        SDXL UNet
+        vae.safetensors|pt         SDXL VAE
         controlnet_union.safetensors|pt  ControlNetModel_Union (promax)
       sam_vit_h.pth                official SAM checkpoint
       groundingdino_swint_ogc.pth  official GroundingDINO
       vocab.txt                    BERT uncased WordPiece vocab
 
 Per model: convert → one denoise / encode / ground step on synthetic
-inputs → report output shapes + finiteness + basic value sanity. This is a
-smoke gate, not a quality eval; quality parity is pinned by the torch-
-numerics tests in tests/ (test_sd15/test_sdxl/test_gdino/test_sam).
+inputs → report output shapes + finiteness + basic value sanity, plus the
+full localization stage (grounded mask → back-projected editing-region
+faces). With `--allow-random`, missing checkpoints fall back to the tiny
+random-weight backends so every check BODY executes today (the dress
+rehearsal that keeps these code paths proven-runnable in a zero-egress
+build). This is a smoke gate, not a quality eval; quality parity is pinned
+by the torch-numerics tests in tests/
+(test_sd15/test_sdxl/test_gdino/test_sam).
 """
 
 import argparse
@@ -81,10 +87,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights-dir", required=True)
     ap.add_argument("--prompt", default="a man wearing a red jacket")
+    ap.add_argument(
+        "--allow-random", action="store_true",
+        help="substitute tiny random-weight backends for missing "
+        "checkpoints so every check body executes today (dress "
+        "rehearsal: proves the real code paths run; converters still "
+        "require real files)")
     args = ap.parse_args()
     w = Path(args.weights_dir)
 
     import jax
+
+    # The image's sitecustomize force-registers the remote axon TPU backend
+    # and overrides JAX_PLATFORMS — re-apply the env choice so
+    # `JAX_PLATFORMS=cpu` really runs on CPU (and doesn't steal/block on
+    # the TPU claim while validating converters).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     def sd15():
@@ -99,10 +118,16 @@ def main():
         vae = _first(d, "vae.safetensors", "vae.pt", "vae.bin")
         txt = _first(d, "text_encoder.safetensors", "text_encoder.pt")
         if not (unet and vae and txt):
-            raise FileNotFoundError(f"sd15/{{unet,vae,text_encoder}} in {d}")
-        prior = SD15Prior.from_torch_files(str(unet), str(vae))
-        enc = CLIPPromptEncoder.from_torch_file(
-            str(txt), SD15_CLIP, tokenizer_dir=str(d / "tokenizer"))
+            if not args.allow_random:
+                raise FileNotFoundError(
+                    f"sd15/{{unet,vae,text_encoder}} in {d}")
+            k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+            prior = SD15Prior.random_init(k1)
+            enc = CLIPPromptEncoder.random_init(k2)
+        else:
+            prior = SD15Prior.from_torch_files(str(unet), str(vae))
+            enc = CLIPPromptEncoder.from_torch_file(
+                str(txt), SD15_CLIP, tokenizer_dir=str(d / "tokenizer"))
         cond = enc.encode([args.prompt])
         uncond = enc.encode([""])
         img = jnp.full((1, 64, 64, 3), 0.5)
@@ -128,8 +153,19 @@ def main():
         vae = _first(d, "vae.safetensors", "vae.pt")
         cn = _first(d, "controlnet_union.safetensors", "controlnet_union.pt")
         if not (unet and vae and cn):
-            raise FileNotFoundError(
-                f"sdxl/{{unet,vae,controlnet_union}} in {d}")
+            if not args.allow_random:
+                raise FileNotFoundError(
+                    f"sdxl/{{unet,vae,controlnet_union}} in {d}")
+            pipe = SDXLControlNetUnionPipeline.random_init(
+                jax.random.PRNGKey(1))
+            img = np.full((64, 64, 3), 0.5, np.float32)
+            mask = np.zeros((64, 64), np.float32)
+            mask[:, 32:] = 1.0
+            out = pipe.inpaint(img, mask, img, img, args.prompt,
+                               key=jax.random.PRNGKey(1), steps=2)
+            assert np.isfinite(np.asarray(out)).all()
+            return (f"inpaint {out.shape} (random weights) in "
+                    f"[{float(out.min()):.2f}, {float(out.max()):.2f}]")
         # Text side: random projected CLIP (the dual-CLIP tower's numerics
         # are pinned separately in tests/test_sd15.py) — this validates the
         # unet/vae/controlnet converters + the full inpaint loop.
@@ -154,28 +190,111 @@ def main():
         )
 
         sam_p = _first(w, "sam_vit_h.pth", "sam_vit_b.pth", "sam_vit_l.pth")
-        if sam_p is None:
-            raise FileNotFoundError(f"sam_vit_*.pth in {w}")
         dino_p = _first(w, "groundingdino_swint_ogc.pth")
-        seg = make_segmenter_backend(
-            "sam", str(sam_p),
-            dino_weights=str(dino_p) if dino_p else None,
-            dino_vocab=str(w / "vocab.txt")
-            if (w / "vocab.txt").exists() else None,
-        )
+        if sam_p is None and not args.allow_random:
+            raise FileNotFoundError(f"sam_vit_*.pth in {w}")
+        if sam_p is None:
+            seg = make_segmenter_backend("langsam-random")
+        else:
+            seg = make_segmenter_backend(
+                "sam", str(sam_p),
+                dino_weights=str(dino_p) if dino_p else None,
+                dino_vocab=str(w / "vocab.txt")
+                if (w / "vocab.txt").exists() else None,
+            )
         rng = np.random.default_rng(0)
         img = rng.uniform(0, 1, (128, 96, 3)).astype(np.float32)
         mask = seg.segment(img, "the jacket")
         assert mask.shape == (128, 96) and mask.dtype == bool
-        grounded = "grounded (LangSAM path)" if dino_p else "box heuristic"
+        grounded = (
+            "grounded (LangSAM path)" if dino_p
+            else "grounded (random LangSAM path)" if sam_p is None
+            else "box heuristic"
+        )
         return f"mask {mask.shape}, {int(mask.sum())} px, {grounded}"
+
+    def localization():
+        """SAM/GDINO → mask → editing REGION: the full localization stage
+        (`Edit_core/mesh_localization.py` role) on a synthetic mesh with
+        the real segmenter — proves grounded masks back-project to a
+        non-empty face region, not just that the mask has pixels."""
+        import jax.numpy as jnp
+
+        from youreditableavatar_tpu.guidance.factory import (
+            make_segmenter_backend,
+        )
+        from youreditableavatar_tpu.ops.marching_tets import (
+            make_tet_grid, marching_tets,
+        )
+        from youreditableavatar_tpu.ops.mesh_raster import (
+            MeshRasterConfig, rasterize_mesh,
+        )
+        from youreditableavatar_tpu.models.cameras import c2w_to_gs_camera
+        from youreditableavatar_tpu.stages.localization import (
+            LocalMeshEditing, LocalizationConfig,
+        )
+
+        sam_p = _first(w, "sam_vit_h.pth", "sam_vit_b.pth", "sam_vit_l.pth")
+        dino_p = _first(w, "groundingdino_swint_ogc.pth")
+        if sam_p is None and not args.allow_random:
+            raise FileNotFoundError(f"sam_vit_*.pth in {w}")
+        if sam_p is None:
+            seg = make_segmenter_backend("langsam-random")
+        else:
+            seg = make_segmenter_backend(
+                "sam", str(sam_p),
+                dino_weights=str(dino_p) if dino_p else None,
+                dino_vocab=str(w / "vocab.txt")
+                if (w / "vocab.txt").exists() else None,
+            )
+        gv, gt = make_tet_grid(10)
+        pos = jnp.asarray(gv)
+        sdf = jnp.linalg.norm(pos, axis=-1) - 0.35
+        mt = marching_tets(pos, sdf, jnp.asarray(gt), 2048, 4096)
+        nv, nf = int(mt.num_verts), int(mt.num_faces)
+        verts = np.asarray(mt.verts)[:nv]
+        faces = np.asarray(mt.faces)[np.asarray(mt.faces_valid)][:nf]
+        mcfg = MeshRasterConfig(backend="xla", pair_budget=1 << 14,
+                                tile_capacity=2048)
+        cams, images = [], []
+        for az in (0.0, 120.0, 240.0):
+            el, azr = np.deg2rad(5.0), np.deg2rad(az)
+            p = 1.6 * np.array([np.cos(el) * np.cos(azr),
+                                np.cos(el) * np.sin(azr), np.sin(el)])
+            look = -p / np.linalg.norm(p)
+            up = np.array([0.0, 0.0, 1.0])
+            right = np.cross(look, up); right /= np.linalg.norm(right)
+            c2w = np.eye(4)
+            c2w[:3, :3] = np.stack([right, np.cross(right, look), -look], -1)
+            c2w[:3, 3] = p
+            cam = c2w_to_gs_camera(c2w, 80.0, 96, 96)
+            cams.append(cam)
+            out = rasterize_mesh(
+                jnp.asarray(verts), jnp.asarray(faces, jnp.int32),
+                cam.raster_camera(), mcfg)
+            sil = np.asarray(out.face_id >= 0)
+            img = np.ones(sil.shape + (3,), np.float32)
+            img[sil] = 0.4
+            images.append(img)
+        loc = LocalMeshEditing(
+            verts, faces, seg,
+            LocalizationConfig(dilate_iters=2, erode_iters=2, min_views=1,
+                               mesh_cfg=mcfg))
+        info = loc.localize(cams, images, args.prompt)
+        n_region = int(info["editing_mask_faces"].sum())
+        assert n_region > 0, "empty editing region"
+        return (f"editing region {n_region}/{len(faces)} faces from "
+                f"{len(cams)} grounded views")
 
     results = [
         check("SD1.5 (unet+vae+clip, one denoise step)", sd15),
         check("SDXL + ControlNet-Union (2-step inpaint)", sdxl),
         check("SAM [+ GroundingDINO] (one grounded mask)", sam_gdino),
+        check("localization (mask -> editing region)", localization),
     ]
-    print(f"\n{sum(results)}/3 model families validated")
+    print(f"\n{sum(results)}/4 checks validated "
+          "(5 model families: SD1.5, SDXL, ControlNet-Union, SAM, "
+          "GroundingDINO)")
     return 0 if all(results) else 1
 
 

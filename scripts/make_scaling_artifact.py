@@ -13,6 +13,8 @@ measures the sharding/collective overhead shape, not ICI bandwidth).
 
 import argparse
 import json
+import subprocess
+import sys
 from pathlib import Path
 
 
@@ -35,7 +37,14 @@ def main():
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--cpu-log", default=None)
     ap.add_argument("--tpu-log", default=None)
+    ap.add_argument("--step-ms", type=float, default=16.49,
+                    help="measured 1-chip step for the analytic model")
     args = ap.parse_args()
+
+    analytic = json.loads(subprocess.check_output(
+        [sys.executable, str(Path(__file__).parent / "scaling_analysis.py"),
+         "--step-ms", str(args.step_ms)]
+    ))
 
     artifact = {
         "note": (
@@ -43,14 +52,18 @@ def main():
             "1-device mesh train-step rate; 'virtual_cpu_mesh' is the "
             "8-device forced-host-platform run measuring the shard_map/"
             "collective overhead SHAPE (virtual devices share one host's "
-            "cores, so 'efficiency' there is not ICI efficiency). "
+            "cores, so 'efficiency' there is not ICI efficiency — the "
+            "2-device rows isolate the first collective hop). "
             "BASELINE.md's >=85%-at-2-hosts criterion needs real multi-"
-            "chip hardware; the dryrun_multichip gate (MULTICHIP_r*.json) "
-            "plus test_parallel.py's pmean-exact update checks validate "
-            "the sharded program itself."
+            "chip hardware; 'analytic_collectives' gives it a falsifiable "
+            "expectation from exact per-step collective byte counts vs "
+            "published ICI bandwidth. The dryrun_multichip gate "
+            "(MULTICHIP_r*.json) plus test_parallel.py's pmean-exact "
+            "update checks validate the sharded program itself."
         ),
         "tpu": parse_log(args.tpu_log),
         "virtual_cpu_mesh": parse_log(args.cpu_log),
+        "analytic_collectives": analytic,
     }
     out = Path(f"SCALING_r{args.round:02d}.json")
     out.write_text(json.dumps(artifact, indent=2) + "\n")

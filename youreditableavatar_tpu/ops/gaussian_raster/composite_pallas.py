@@ -30,6 +30,7 @@ TPU-native re-design of `renderCUDA` (`forward.cu:261-374`) and its backward
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -47,6 +48,13 @@ from youreditableavatar_tpu.ops.gaussian_raster.composite_xla import (
 
 CHUNK = 128  # pairs per SMEM chunk
 SUB, LANE = 8, 128  # pixel vector register shape; SUB*LANE = tile_size**2
+
+# bf16 mantissa pieces in the backward reduce matmul (see reduce_chunk):
+# 3 reproduces f32 exactly (24 mantissa bits); 2 drops the low 8 bits of
+# the integrand sums (relative error ~2^-16, far below the rest of the
+# pipeline's fp32 summation-order noise) and saves one MXU pass per chunk.
+# Ablated on-chip via scripts/tpu_check.py — see PERF notes in README.
+REDUCE_SPLIT = int(os.environ.get("YEA_REDUCE_SPLIT", "3"))
 
 
 def _pixel_coords(tile_id, num_tiles_x: int, tile_size: int):
@@ -361,20 +369,19 @@ def _backward_kernel(
             hi = lhs.astype(jnp.bfloat16)
             r1 = lhs - hi.astype(jnp.float32)
             mid = r1.astype(jnp.bfloat16)
-            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
             wb = wmat.astype(jnp.bfloat16)  # ±1/±0.5: exact
             dims = (((1,), (0,)), ((), ()))
-            sums = (
-                jax.lax.dot_general(
-                    hi, wb, dims, preferred_element_type=jnp.float32
-                )
-                + jax.lax.dot_general(
-                    mid, wb, dims, preferred_element_type=jnp.float32
-                )
-                + jax.lax.dot_general(
+            sums = jax.lax.dot_general(
+                hi, wb, dims, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                mid, wb, dims, preferred_element_type=jnp.float32
+            )
+            if REDUCE_SPLIT >= 3:
+                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                sums = sums + jax.lax.dot_general(
                     lo, wb, dims, preferred_element_type=jnp.float32
                 )
-            )  # (CHUNK, 16); cols 9..15 are zero by wmat
+            # (CHUNK, 16); cols 9..15 are zero by wmat
             out_s[slot, :, 0:16] = sums
 
         def grad_dma(c, slot):

@@ -186,6 +186,69 @@ class TestPartition:
         )
         assert np.isfinite(total) and total > 0
 
+    def test_sparse_grad_matches_dense(self):
+        """part_isosurface's sparse grad requery (selection under stop_grad,
+        grad-enabled forward only at selected-tet corners) must produce the
+        SAME gradients as the dense formulation that evaluates every live
+        vertex differentiably — the sparsity is exact, not approximate."""
+        from youreditableavatar_tpu.ops.marching_tets import (
+            compact_tets,
+            subdivide_tets,
+        )
+
+        field = small_field()
+        params = field.init_params(jax.random.PRNGKey(0))
+        geom = TetGeometry(field, resolution=10, budgets=SMALL_BUDGETS)
+        _, _, part = make_partitioned(field, geom, params)
+
+        def dense_part_isosurface(p):
+            live_idx = part.live_vert_idx
+            live_vals = field.forward_sdf(p, geom.grid_pos[live_idx])
+            sdf = part.frozen_sdf.at[live_idx].set(live_vals)
+            upd_tets = geom.grid_tets[part.update_tet_idx]
+            idx, valid, _ = compact_tets(
+                geom.grid_pos, sdf, upd_tets, geom.budgets.compact,
+                corner_threshold=geom.spacing,
+            )
+            sub_tets = upd_tets[idx]
+            fine_pos, _, child_tets, child_valid, _ = subdivide_tets(
+                geom.grid_pos, sdf, sub_tets, valid, geom.budgets.subdiv_mid
+            )
+            mids = fine_pos[geom.grid_pos.shape[0]:]
+            mid_live = field.forward_sdf_chunked(p, mids)
+            fine_sdf = jnp.concatenate([sdf, mid_live])
+            return marching_tets(
+                fine_pos, fine_sdf, child_tets,
+                geom.budgets.fine_mt_verts, geom.budgets.fine_mt_faces,
+                tet_valid=child_valid,
+            )
+
+        def loss_of(iso_fn):
+            def loss(p):
+                upd = iso_fn(p)
+                r = jnp.linalg.norm(upd.verts, axis=-1)
+                return jnp.sum(jnp.where(upd.verts_valid, r * r, 0.0))
+
+            return loss
+
+        l_sparse, g_sparse = jax.value_and_grad(
+            loss_of(lambda p: geom.part_isosurface(p, part))
+        )(params)
+        l_dense, g_dense = jax.value_and_grad(loss_of(dense_part_isosurface))(
+            params
+        )
+        np.testing.assert_allclose(
+            float(l_sparse), float(l_dense), rtol=1e-6
+        )
+        for ks, kd in zip(
+            jax.tree_util.tree_leaves_with_path(g_sparse),
+            jax.tree_util.tree_leaves_with_path(g_dense),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(ks[1]), np.asarray(kd[1]), rtol=1e-4, atol=1e-6,
+                err_msg=str(ks[0]),
+            )
+
 
 class TestHumanEditSmoke:
     def test_few_steps_run(self):

@@ -345,6 +345,7 @@ class HumanEditTrainer:
         self.tx = parse_optimizer(cfg.optimizer, cfg.lr, cfg.betas, cfg.eps)
         self.opt_state = self.tx.init(params)
         self.control_sdf: Optional[Array] = None
+        self._ctrl_dev: Optional[Array] = None  # device cache (train_step)
         self.global_step = 0
         self.metrics: List[Dict[str, float]] = []
         from youreditableavatar_tpu.ops.gaussian_raster import BudgetGovernor
@@ -519,6 +520,7 @@ class HumanEditTrainer:
                     self.params, self.geometry.grid_pos
                 )
             )
+            self._ctrl_dev = None
 
         # NC weight switches to the `_sub` schedule once subdivision engages
         # (`humanedit.py:206-216`, sub_step 500).
@@ -570,11 +572,16 @@ class HumanEditTrainer:
             guide_mask = jnp.zeros((h, w), jnp.float32)
 
         min_t, max_t = self.guidance.timestep_range(0, step_i)
-        ctrl = jnp.asarray(
-            self.control_sdf
-            if self.control_sdf is not None
-            else np.zeros(self.geometry.grid_pos.shape[0], np.float32)
-        )
+        # Device-cache the control SDF: re-uploading the (Nv,) array every
+        # step costs a ~1 MB host->device transfer at grid 64 (slow over a
+        # remote-device tunnel); it only changes at the snapshot boundary.
+        if self._ctrl_dev is None:
+            self._ctrl_dev = jnp.asarray(
+                self.control_sdf
+                if self.control_sdf is not None
+                else np.zeros(self.geometry.grid_pos.shape[0], np.float32)
+            )
+        ctrl = self._ctrl_dev
 
         if use_global not in self._step_fns:
             self._step_fns[use_global] = self._make_step(use_global)
@@ -657,6 +664,7 @@ class HumanEditTrainer:
         extra = state.get("extra") or {}
         ctrl = extra.get("control_sdf") if isinstance(extra, dict) else None
         self.control_sdf = np.asarray(ctrl) if ctrl is not None else None
+        self._ctrl_dev = None
 
     def train(self, key: jax.Array, num_steps: Optional[int] = None):
         n = num_steps or self.cfg.max_steps

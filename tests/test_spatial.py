@@ -291,6 +291,53 @@ class TestHumanEditSmoke:
         )
         assert moved > 0
 
+    def test_sdf_cache_matches_full_sweep(self):
+        """With the selection cache on (sdf_cache_refresh=2) training must
+        match the uncached full-sweep path: selected-tet corners are fresh
+        every step, so on a slowly-moving surface the tet selection — and
+        therefore every loss and update — is identical."""
+
+        def run(refresh):
+            field = small_field()
+            params = field.init_params(jax.random.PRNGKey(0))
+            geom = TetGeometry(field, resolution=10, budgets=SMALL_BUDGETS)
+            _, _, part = make_partitioned(field, geom, params)
+            prior = StubDiffusionPrior()
+            guidance = SDSGuidance(prior, SDSConfig(guidance_scale=7.5))
+            enc = StubPromptEncoder()
+            prompts = PromptProcessor(
+                "a red jacket", "low quality", enc,
+                cache_dir="/tmp/test_prompt_cache", model_name="stub-test",
+            )
+            cfg = HumanEditConfig(
+                max_steps=5,
+                camera=RandomCameraConfig(
+                    height=64, width=64, camera_distance_range=(1.6, 1.8),
+                    elevation_range=(-5, 10), fovy_range=(40, 45),
+                ),
+                recon_points=2048,
+                start_sdf_loss_step=2,
+                sdf_cache_refresh=refresh,
+            )
+            trainer = HumanEditTrainer(
+                field, geom, part, params, guidance, prompts, prompts,
+                cfg, MESH_CFG,
+            )
+            out = trainer.train(jax.random.PRNGKey(1), num_steps=5)
+            return out, trainer.metrics
+
+        p_cache, m_cache = run(2)
+        p_full, m_full = run(0)
+        for a, b in zip(m_cache, m_full):
+            np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_cache),
+            jax.tree_util.tree_leaves(p_full),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7
+            )
+
     def test_resume_matches_uninterrupted(self, tmp_path):
         """Checkpoint at step 2 (mid-curriculum, past the control-SDF
         snapshot boundary), restore into a FRESH trainer, finish training:

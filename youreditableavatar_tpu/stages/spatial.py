@@ -290,6 +290,10 @@ class HumanEditConfig:
     # "grow" rebuilds the step at a larger budget, "raise" hard-fails,
     # "warn" continues on a truncated render.
     overflow_policy: str = "grow"
+    # Selection-cache refresh period K for part_isosurface_cached (every
+    # live vertex re-evaluates at most K steps apart; selected-tet corners
+    # refresh every step). 0 disables the cache (full sweep per step).
+    sdf_cache_refresh: int = 8
     # Visual checkpoints: normal-grid dump cadence (`humanedit.py:257-292`),
     # written when `save_dir` is set on the trainer.
     image_every: int = 250
@@ -368,6 +372,22 @@ class HumanEditTrainer:
             self.frozen_params, geometry.grid_pos
         )
 
+        # Selection cache (part_isosurface_cached): composite SDF carried
+        # across steps. At t=0 the live field equals the frozen field, so
+        # the partition's frozen_sdf is the exact initial cache.
+        self._sdf_cache: Optional[Array] = (
+            jnp.asarray(partition.frozen_sdf)
+            if cfg.sdf_cache_refresh > 0 else None
+        )
+        if cfg.sdf_cache_refresh > 0:
+            live = np.asarray(partition.live_vert_idx)
+            k_ref = cfg.sdf_cache_refresh
+            r = -(-live.shape[0] // k_ref)
+            pad = np.resize(live, (k_ref * r,))  # wraps; dupes harmless
+            self._refresh_slices = jnp.asarray(
+                pad.reshape(k_ref, r).astype(np.int32)
+            )
+
     def _make_step(self, use_global: bool):
         cfg = self.cfg
         geometry = self.geometry
@@ -383,9 +403,12 @@ class HumanEditTrainer:
             RasterCamera,
         )
 
+        use_cache = cfg.sdf_cache_refresh > 0
+
         def step(params, opt_state, cam_l_arr, cam_g_arr, cond, uncond, key,
                  weights, min_t, max_t, control_sdf, global_step,
-                 guide_normal, guide_mask, guide_flag):
+                 guide_normal, guide_mask, guide_flag, sdf_cache,
+                 refresh_idx):
             cam_l = RasterCamera(*cam_l_arr, width=w, height=h)
             cam_g = RasterCamera(*cam_g_arr, width=w, height=h)
             # Progressive hash-grid band (`networks.py:97-106`).
@@ -397,7 +420,13 @@ class HumanEditTrainer:
             key_sds, key_pts = jax.random.split(key)
 
             def loss_fn(p):
-                mt = geometry.part_isosurface(p, part, level_mask=lm)
+                if use_cache:
+                    mt, new_cache = geometry.part_isosurface_cached(
+                        p, part, sdf_cache, refresh_idx, level_mask=lm
+                    )
+                else:
+                    mt = geometry.part_isosurface(p, part, level_mask=lm)
+                    new_cache = sdf_cache
                 maps = render_part_maps(
                     part.keep_mesh, mt, cam_l,
                     cam_g if use_global else None, mesh_cfg,
@@ -476,14 +505,14 @@ class HumanEditTrainer:
                     aux["img_normal"] = loss_normal
                     aux["img_mask"] = loss_mask
 
-                return loss, (aux, normal_img)
+                return loss, (aux, normal_img, new_cache)
 
-            (loss, (aux, normal_img)), grads = jax.value_and_grad(
+            (loss, (aux, normal_img, new_cache)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, aux, normal_img
+            return params, opt_state, loss, aux, normal_img, new_cache
 
         return jax.jit(step)
 
@@ -588,13 +617,24 @@ class HumanEditTrainer:
         step_fn = self._step_fns[use_global]
         cam_l_arr = (cam_l.viewmat, cam_l.fx, cam_l.fy, cam_l.cx, cam_l.cy)
         cam_g_arr = (cam_g.viewmat, cam_g.fx, cam_g.fy, cam_g.cx, cam_g.cy)
-        self.params, self.opt_state, loss, aux, normal_img = step_fn(
+        if self.cfg.sdf_cache_refresh > 0:
+            sdf_cache = self._sdf_cache
+            refresh_idx = self._refresh_slices[
+                step_i % self.cfg.sdf_cache_refresh
+            ]
+        else:  # dummies (static shapes; unused by the step)
+            sdf_cache = jnp.zeros((1,), jnp.float32)
+            refresh_idx = jnp.zeros((1,), jnp.int32)
+        (self.params, self.opt_state, loss, aux, normal_img,
+         new_cache) = step_fn(
             self.params, self.opt_state, cam_l_arr, cam_g_arr,
             jnp.asarray(cond), jnp.asarray(uncond), key, weights,
             jnp.asarray(min_t), jnp.asarray(max_t), ctrl,
             jnp.int32(step_i), guide_normal, guide_mask,
-            jnp.float32(guide_flag),
+            jnp.float32(guide_flag), sdf_cache, refresh_idx,
         )
+        if self.cfg.sdf_cache_refresh > 0:
+            self._sdf_cache = new_cache
         self.global_step += 1
         rec = {"loss": float(loss), **{k: float(v) for k, v in aux.items()}}
         if step_i % cfg.log_every == 0:
@@ -631,6 +671,10 @@ class HumanEditTrainer:
         extra = {}
         if self.control_sdf is not None:
             extra["control_sdf"] = np.asarray(self.control_sdf)
+        if self._sdf_cache is not None:
+            # Carried selection cache: checkpointed so a restored run makes
+            # exactly the same tet selections as an uninterrupted one.
+            extra["sdf_cache"] = np.asarray(self._sdf_cache)
         save_state(path, self.params, self.opt_state,
                    step=self.global_step, extra=extra or None)
 
@@ -665,6 +709,22 @@ class HumanEditTrainer:
         ctrl = extra.get("control_sdf") if isinstance(extra, dict) else None
         self.control_sdf = np.asarray(ctrl) if ctrl is not None else None
         self._ctrl_dev = None
+        if self.cfg.sdf_cache_refresh > 0:
+            cache = (extra.get("sdf_cache")
+                     if isinstance(extra, dict) else None)
+            if cache is not None:
+                self._sdf_cache = jnp.asarray(cache)
+            else:  # older checkpoint: rebuild exactly from the live field
+                live_idx = self.partition.live_vert_idx
+                vals = self.geometry.field.forward_sdf_chunked(
+                    self.params, self.geometry.grid_pos[live_idx],
+                    level_mask=self.geometry.field.level_mask(
+                        self.global_step
+                    ),
+                )
+                self._sdf_cache = jnp.asarray(
+                    self.partition.frozen_sdf
+                ).at[live_idx].set(vals)
 
     def train(self, key: jax.Array, num_steps: Optional[int] = None):
         n = num_steps or self.cfg.max_steps

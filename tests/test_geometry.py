@@ -140,6 +140,34 @@ class TestMarchingTets:
 
 
 class TestCompactSubdivide:
+    def test_compact_lattice_matches_generic(self):
+        """compact_tets_lattice (shifted-volume stats on the regular 6-tet
+        lattice) must select exactly the same tets, in the same order, as
+        the gather-based compact_tets — including with a tet_mask and the
+        corner_threshold margin."""
+        from youreditableavatar_tpu.ops.marching_tets import (
+            compact_tets_lattice,
+        )
+
+        r = 9
+        verts, tets = make_tet_grid(r)
+        pos = jnp.asarray(verts * 2.0)
+        tets_j = jnp.asarray(tets)
+        rng = np.random.default_rng(3)
+        sdf = jnp.asarray(
+            (np.linalg.norm(verts * 2.0, axis=-1) - 0.45
+             + 0.05 * rng.normal(size=verts.shape[0])).astype(np.float32)
+        )
+        tet_mask = jnp.asarray(rng.random(tets.shape[0]) > 0.3)
+        for ct in (0.0, 2.0 / r):
+            a = compact_tets(pos, sdf, tets_j, budget=4096,
+                             tet_mask=tet_mask, corner_threshold=ct)
+            b = compact_tets_lattice(sdf, r, budget=4096,
+                                     tet_mask=tet_mask, corner_threshold=ct)
+            np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+            np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+            assert int(a[2]) == int(b[2])
+
     def test_compact_selects_near_surface(self):
         verts, tets = make_tet_grid(8)
         pos = jnp.asarray(verts)

@@ -32,6 +32,7 @@ from youreditableavatar_tpu.models.sdf import SDFField
 from youreditableavatar_tpu.ops.marching_tets import (
     MTOutput,
     compact_tets,
+    compact_tets_lattice,
     make_tet_grid,
     marching_tets,
     mark_part_tets,
@@ -270,13 +271,16 @@ class TetGeometry:
         """Selection on `sdf0` (stop-grad composite), sparse grad requery,
         subdivision + marching tets. Returns (mt, new_cache) where new_cache
         is sdf0 with this step's fresh values written at selected corners."""
-        upd_tets = self.grid_tets[part.update_tet_idx]
-        idx, valid, _ = compact_tets(
-            self.grid_pos, sdf0, upd_tets, self.budgets.compact,
+        # Lattice-specialized selection: shifted-volume stats + the update
+        # mask instead of gathering 4 corners of every update tet (the two
+        # gathers it replaces measured ~60 ms/step at grid 64 on a v5e).
+        idx, valid, _ = compact_tets_lattice(
+            sdf0, self.resolution, self.budgets.compact,
+            tet_mask=part.update_tet_mask,
             corner_threshold=self.spacing,
         )
         sel = valid
-        sub_tets = upd_tets[idx]
+        sub_tets = self.grid_tets[idx]
 
         # Sparse grad-enabled requery at selected-tet corners. Each unique
         # vertex gets exactly ONE owner row so the scatter-add VJP does not

@@ -329,6 +329,63 @@ def compact_tets(
     return idx, valid, num
 
 
+# make_tet_grid's 6-tets-per-cube split around the 0–7 diagonal; corner id
+# n has lattice offset (n&1, n>>1&1, n>>2&1).
+_TET_CORNERS = ((0, 1, 3, 7), (0, 3, 2, 7), (0, 2, 6, 7),
+                (0, 6, 4, 7), (0, 4, 5, 7), (0, 5, 1, 7))
+
+
+def compact_tets_lattice(
+    sdf: Array,
+    resolution: int,
+    budget: int,
+    threshold: float = 0.02,
+    tet_mask: Array | None = None,
+    corner_threshold: float = 0.0,
+) -> Tuple[Array, Array, Array]:
+    """`compact_tets` specialized to the `make_tet_grid` lattice.
+
+    The generic version gathers every tet's 4 corner values (6.25M indexed
+    rows at grid 64 — 33 ms/step on a v5e, pure index-issue cost); on the
+    REGULAR 6-tet lattice each corner value is a shifted 3-D view of the
+    (R+1)³ SDF volume, so the per-tet stats become elementwise slicing the
+    TPU vector units chew through. Selection is identical: the flat tet
+    order (cube-raveled · 6 + type) matches `make_tet_grid`, pinned by
+    `test_marching_tets.py::test_compact_lattice_matches_generic`.
+
+    Returns (idx, valid, num) with idx indexing the FULL grid tet list.
+    """
+    r = resolution
+    v = sdf.reshape(r + 1, r + 1, r + 1)
+    corner = [
+        v[n & 1:(n & 1) + r,
+          (n >> 1) & 1:((n >> 1) & 1) + r,
+          (n >> 2) & 1:((n >> 2) & 1) + r]
+        for n in range(8)
+    ]
+    masks = []
+    for cs in _TET_CORNERS:
+        c0, c1, c2, c3 = (corner[c] for c in cs)
+        mn = jnp.minimum(jnp.minimum(c0, c1), jnp.minimum(c2, c3))
+        mx = jnp.maximum(jnp.maximum(c0, c1), jnp.maximum(c2, c3))
+        mean = (c0 + c1 + c2 + c3) * 0.25
+        m = (jnp.abs(mean) <= threshold) | ((mn < 0) & (mx > 0))
+        if corner_threshold > 0.0:
+            amn = jnp.minimum(
+                jnp.minimum(jnp.abs(c0), jnp.abs(c1)),
+                jnp.minimum(jnp.abs(c2), jnp.abs(c3)),
+            )
+            m = m | (amn <= corner_threshold)
+        masks.append(m)
+    mask = jnp.stack(masks, axis=-1).reshape(-1)  # (R³·6,) = flat tet order
+    if tet_mask is not None:
+        mask = mask & tet_mask
+    idx = jnp.nonzero(mask, size=budget, fill_value=0)[0].astype(jnp.int32)
+    num = jnp.sum(mask)
+    valid = jnp.arange(budget) < jnp.minimum(num, budget)
+    return idx, valid, num
+
+
 def subdivide_tets(
     pos: Array,
     sdf: Array,

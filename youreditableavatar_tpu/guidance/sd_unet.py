@@ -160,7 +160,12 @@ def init_unet_params(key: jax.Array, cfg: UNetConfig = TEST_UNET) -> Params:
 def unet_time_embedding(params: Params, t: Array, cfg: UNetConfig,
                         add_cond=None) -> Array:
     """Time (+ SDXL text_time addition) embedding shared with ControlNet."""
-    temb = timestep_embedding(t, cfg.base)
+    # Sinusoids are built in f32 (frequency precision) then cast to the
+    # parameter dtype so a bf16 model never mixes dtypes downstream (the
+    # resnet time-proj add otherwise promotes activations to f32 and the
+    # next bf16 conv rejects them).
+    pdt = params["time1"]["w"].dtype
+    temb = timestep_embedding(t, cfg.base).astype(pdt)
     temb = linear(jax.nn.silu(linear(temb, params["time1"])), params["time2"])
     # diffusers applies SiLU between linear_1/linear_2 but NOT before
     # linear_1 and not after linear_2; resnets silu() the embedding at use.
@@ -169,7 +174,8 @@ def unet_time_embedding(params: Params, t: Array, cfg: UNetConfig,
         b = pooled.shape[0]
         tid = timestep_embedding(
             time_ids.reshape(-1), cfg.add_time_dim
-        ).reshape(b, cfg.num_time_ids * cfg.add_time_dim)
+        ).reshape(b, cfg.num_time_ids * cfg.add_time_dim).astype(pdt)
+        pooled = pooled.astype(pdt)
         add = jnp.concatenate([pooled, tid], axis=-1)
         temb = temb + linear(
             jax.nn.silu(linear(add, params["add1"])), params["add2"]

@@ -1,0 +1,150 @@
+"""SDS guidance cost at the stage-1 operating point (512² renders).
+
+The integrated `bench_spatial.py --guidance sd15-random-full` step fuses the
+full 860M-param SD1.5 UNet into the spatial step's single jit; that HLO
+exceeds what the remote-compile tunnel will build (broken pipe after ~25
+min). The UNet is never differentiated (SDS stop-grads z_t,
+`guidance/sds.py:76-78`), so its cost separates cleanly: this script
+measures value_and_grad of the SDS loss w.r.t. the rendered image — VAE
+encode fwd+bwd + doubled-batch UNet forward — in its own jit, for BOTH the
+stub prior and the production-shape SD1.5 (random bf16 weights; weights
+don't change FLOPs). UNet-inclusive stage-1 step ≈ stub step
+(SPATIAL_BENCH) + (sd15_full − stub) from here.
+
+Run on the attached chip: python scripts/bench_guidance.py
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from youreditableavatar_tpu.guidance import (
+    SDSConfig,
+    SDSGuidance,
+    StubDiffusionPrior,
+    StubPromptEncoder,
+)
+
+HW = 512
+
+
+def time_guidance(guidance, cond, uncond, iters=10):
+    @jax.jit
+    def f(img, key):
+        def loss(im):
+            return guidance(im, cond, uncond, key, 20, 980)["loss_sds"]
+
+        return jax.value_and_grad(loss)(img)
+
+    img = jnp.full((1, HW, HW, 3), 0.5, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    l, g = f(img, key)
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        l, g = f(img + 1e-30 * l, jax.random.fold_in(key, i))
+    jax.block_until_ready(g)
+    assert bool(jnp.isfinite(g).all())
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    print(f"[{time.strftime('%H:%M:%S')}] stub prior", file=sys.stderr,
+          flush=True)
+    stub = SDSGuidance(StubDiffusionPrior(), SDSConfig(guidance_scale=7.5))
+    enc = StubPromptEncoder()
+    c = enc.encode(["a red down jacket"])
+    u = enc.encode(["low quality"])
+    ms_stub = time_guidance(stub, c, u)
+
+    print(f"[{time.strftime('%H:%M:%S')}] full-size SD1.5 (bf16, random)",
+          file=sys.stderr, flush=True)
+    from youreditableavatar_tpu.guidance.sd15 import SD15Prior
+    from youreditableavatar_tpu.guidance.sd_unet import (
+        SD15_UNET,
+        init_unet_params,
+    )
+    from youreditableavatar_tpu.guidance.sd_vae import SD_VAE, init_vae_params
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    prior = SD15Prior(
+        init_unet_params(k1, SD15_UNET), init_vae_params(k2, SD_VAE),
+        SD15_UNET, SD_VAE, dtype=jnp.bfloat16,
+    )
+
+    # One jit around the whole SDS call (and even around the bare UNet)
+    # exceeds the remote-compile tunnel's limits (broken pipe ~20 min in),
+    # so measure the two separable pieces in their own jits. SDS math makes
+    # this decomposition exact to the elementwise noise/weighting glue: the
+    # UNet runs forward-only on stop-gradded z_t, and only the VAE encoder
+    # is differentiated.
+    from youreditableavatar_tpu.guidance.sd_unet import apply_unet
+    from youreditableavatar_tpu.guidance.sd_vae import vae_encode
+
+    def time_it(f, args, iters=10, perturb=None):
+        out = f(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = f(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    print(f"[{time.strftime('%H:%M:%S')}] UNet fwd (B=2, 64² latents)",
+          file=sys.stderr, flush=True)
+    zz = jnp.zeros((2, 64, 64, 4), jnp.bfloat16)
+    tt = jnp.array([500, 500])
+    ctx = jnp.zeros((2, 77, 768), jnp.bfloat16)
+    unet_f = jax.jit(
+        lambda z, t, c: apply_unet(prior.unet_params, z, t, c, SD15_UNET)
+    )
+    ms_unet = time_it(unet_f, (zz, tt, ctx))
+    print(f"[{time.strftime('%H:%M:%S')}] unet {ms_unet:.1f} ms",
+          file=sys.stderr, flush=True)
+
+    print(f"[{time.strftime('%H:%M:%S')}] VAE encode fwd+bwd (512²)",
+          file=sys.stderr, flush=True)
+    img = jnp.full((1, HW, HW, 3), 0.5, jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def enc_loss(im, k):
+        z = vae_encode(
+            prior.vae_params, (im * 2 - 1).astype(jnp.bfloat16), k, SD_VAE
+        )
+        return jnp.sum(z.astype(jnp.float32) ** 2)
+
+    vae_g = jax.jit(jax.grad(enc_loss))
+    ms_vae = time_it(vae_g, (img, key))
+    print(f"[{time.strftime('%H:%M:%S')}] vae {ms_vae:.1f} ms",
+          file=sys.stderr, flush=True)
+
+    ms_full = ms_unet + ms_vae
+    print(json.dumps({
+        "metric": "sds_guidance_ms_512",
+        "value": ms_full,
+        "unit": "ms/call",
+        "detail": {
+            "stub_ms": round(ms_stub, 3),
+            "unet_fwd_ms": round(ms_unet, 3),
+            "vae_encode_grad_ms": round(ms_vae, 3),
+            "sd15_full_ms": round(ms_full, 3),
+            "unet_overhead_ms": round(ms_full - ms_stub, 3),
+            "shapes": "images (1,512,512,3); latents (1,64,64,4); "
+                      "UNet batch 2 (cond+uncond), bf16",
+            "note": "separate jits: one jit around the full SDS call "
+                    "exceeds the remote-compile tunnel (broken pipe); "
+                    "exact decomposition — the UNet is forward-only on "
+                    "stop-gradded z_t (guidance/sds.py:76-78)",
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

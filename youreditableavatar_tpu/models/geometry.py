@@ -292,13 +292,20 @@ class TetGeometry:
         live_sel = part.live_vert_mask[
             jnp.where(valid[:, None], sub_tets, 0)
         ] & valid[:, None]
-        sv = jnp.where(live_sel, sub_tets, 0).reshape(-1)
+        live_flat = live_sel.reshape(-1)
+        sv = jnp.where(live_flat, sub_tets.reshape(-1), 0)
         fresh = self.field.forward_sdf(
             params, self.grid_pos[sv], level_mask=level_mask
         )
+        # Owner bookkeeping routes non-live rows to a sentinel slot `nv`
+        # (NOT vertex 0): if grid vertex 0 is itself a live selected corner,
+        # aliasing padding rows to 0 could let a padding row win the
+        # duplicate-index scatter, leaving vertex 0 ownerless (stale value,
+        # zero gradient).
+        sv_own = jnp.where(live_flat, sv, nv)
         rows = jnp.arange(sv.shape[0], dtype=jnp.int32)
-        owner = jnp.full((nv,), -1, jnp.int32).at[sv].set(rows)
-        is_owner = (owner[sv] == rows) & live_sel.reshape(-1)
+        owner = jnp.full((nv + 1,), -1, jnp.int32).at[sv_own].set(rows)
+        is_owner = (owner[sv_own] == rows) & live_flat
         delta = jnp.where(is_owner, fresh - sdf0[sv], 0.0)
         sdf = sdf0.at[sv].add(delta)
         new_cache = jax.lax.stop_gradient(sdf)

@@ -351,7 +351,7 @@ def compact_tets_lattice(
     (R+1)³ SDF volume, so the per-tet stats become elementwise slicing the
     TPU vector units chew through. Selection is identical: the flat tet
     order (cube-raveled · 6 + type) matches `make_tet_grid`, pinned by
-    `test_marching_tets.py::test_compact_lattice_matches_generic`.
+    `test_geometry.py::TestCompactSubdivide::test_compact_lattice_matches_generic`.
 
     Returns (idx, valid, num) with idx indexing the FULL grid tet list.
     """

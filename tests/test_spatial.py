@@ -291,6 +291,59 @@ class TestHumanEditSmoke:
         )
         assert moved > 0
 
+    def test_du_mode_steps(self):
+        """`use_sds: false` multi-step "du" editing drives the trainer
+        (`sds_du_guidance.py:40-42,276-314`): the edited-image cache fills
+        per azimuth bucket, refreshes on the per_editing_step cadence, and
+        the du losses (latent MSE + L1) optimize the field."""
+        from youreditableavatar_tpu.guidance.sds import (
+            SDSDUConfig,
+            SDSDUGuidance,
+        )
+
+        field = small_field()
+        params = field.init_params(jax.random.PRNGKey(0))
+        geom = TetGeometry(field, resolution=10, budgets=SMALL_BUDGETS)
+        _, _, part = make_partitioned(field, geom, params)
+
+        prior = StubDiffusionPrior()
+        guidance = SDSDUGuidance(
+            prior, SDSDUConfig(guidance_scale=7.5, per_editing_step=2)
+        )
+        enc = StubPromptEncoder()
+        prompts = PromptProcessor(
+            "a red jacket", "low quality", enc,
+            cache_dir="/tmp/test_prompt_cache", model_name="stub-test",
+        )
+        cfg = HumanEditConfig(
+            max_steps=3,
+            use_sds=False,
+            camera=RandomCameraConfig(
+                height=64, width=64, camera_distance_range=(1.6, 1.8),
+                elevation_range=(-5, 10), fovy_range=(40, 45),
+            ),
+            recon_points=1024,
+            start_sdf_loss_step=2,
+        )
+        trainer = HumanEditTrainer(
+            field, geom, part, params, guidance, prompts, prompts,
+            cfg, MESH_CFG,
+        )
+        out = trainer.train(jax.random.PRNGKey(1), num_steps=3)
+        assert trainer.global_step == 3
+        assert len(guidance.edited_images) >= 1  # cache populated
+        for rec in trainer.metrics:
+            assert np.isfinite(rec["loss"])
+            assert "du_f" in rec and "du_l1" in rec
+        moved = sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(out),
+                jax.tree_util.tree_leaves(params),
+            )
+        )
+        assert moved > 0
+
     def test_sdf_cache_matches_full_sweep(self):
         """With the selection cache on (sdf_cache_refresh=2) training must
         match the uncached full-sweep path: selected-tet corners are fresh

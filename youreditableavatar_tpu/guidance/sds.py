@@ -195,6 +195,64 @@ class SDSDUGuidance(SDSGuidance):
         self.edited_images: Dict[int, Array] = {}
         self.perceptual_fn = perceptual_fn
 
+    def maybe_refresh(
+        self,
+        images: Array,
+        cond_emb: Array,
+        uncond_emb: Array,
+        key: jax.Array,
+        min_t: int,
+        max_t: int,
+        view_index: int,
+        global_step: int,
+    ) -> Array:
+        """Refresh the per-view edited-image cache if due; return the cached
+        ground-truth edit for `view_index`.
+
+        `images` must be the CURRENT render (stop-grad is applied here).
+        Host-side state, exactly like the reference's `self.edited_images`
+        (`sds_du_guidance.py:292-304`).
+        """
+        cfg: SDSDUConfig = self.cfg  # type: ignore[assignment]
+        k_enc, k_t, k_edit = jax.random.split(key, 3)
+        refresh = (
+            view_index not in self.edited_images
+            or global_step % cfg.per_editing_step == 0
+        )
+        if refresh:
+            latents = self.prior.encode_images(
+                jax.lax.stop_gradient(images), k_enc
+            )
+            t = int(jax.random.randint(k_t, (), min_t, max_t + 1))
+            edit_latents = self.prior.edit_latents(
+                latents, t, cond_emb, uncond_emb,
+                k_edit, cfg.du_guidance_scale, cfg.steps_divisor,
+            )
+            edit_images = self.prior.decode_latents(edit_latents)
+            self.edited_images[view_index] = jax.lax.stop_gradient(
+                jax.image.resize(edit_images, images.shape, "bilinear")
+            )
+        return self.edited_images[view_index]
+
+    def du_loss_terms(
+        self, images: Array, gt: Array, k_enc: jax.Array
+    ) -> Dict[str, Array]:
+        """Differentiable du comparison losses against a cached edit `gt`
+        (`sds_du_guidance.py:306-314`): latent MSE + image L1 + perceptual.
+        Pure function of (images, gt) — safe to trace inside a jitted step.
+        """
+        latents = self.prior.encode_images(images, k_enc)
+        gt_latents = jax.lax.stop_gradient(
+            self.prior.encode_images(jax.lax.stop_gradient(gt), k_enc)
+        )
+        b = images.shape[0]
+        loss_f = jnp.sum((latents - gt_latents) ** 2) / b
+        loss_l1 = jnp.sum(jnp.abs(images - gt)) / b
+        out = {"loss_f": loss_f, "loss_l1": loss_l1}
+        if self.perceptual_fn is not None:
+            out["loss_p"] = jnp.sum(self.perceptual_fn(images, gt)) / b
+        return out
+
     def du_losses(
         self,
         images: Array,
@@ -207,33 +265,9 @@ class SDSDUGuidance(SDSGuidance):
         global_step: int,
     ) -> Dict[str, Array]:
         """Multi-step edit losses for one view batch (B=1 like the ref)."""
-        cfg: SDSDUConfig = self.cfg  # type: ignore[assignment]
-        k_enc, k_t, k_edit = jax.random.split(key, 3)
-        latents = self.prior.encode_images(images, k_enc)
-
-        refresh = (
-            view_index not in self.edited_images
-            or global_step % cfg.per_editing_step == 0
+        k_enc, _, _ = jax.random.split(key, 3)
+        gt = self.maybe_refresh(
+            images, cond_emb, uncond_emb, key, min_t, max_t,
+            view_index, global_step,
         )
-        if refresh:
-            t = int(jax.random.randint(k_t, (), min_t, max_t + 1))
-            edit_latents = self.prior.edit_latents(
-                jax.lax.stop_gradient(latents), t, cond_emb, uncond_emb,
-                k_edit, cfg.du_guidance_scale, cfg.steps_divisor,
-            )
-            edit_images = self.prior.decode_latents(edit_latents)
-            self.edited_images[view_index] = jax.lax.stop_gradient(
-                jax.image.resize(edit_images, images.shape, "bilinear")
-            )
-        gt = self.edited_images[view_index]
-        gt_latents = jax.lax.stop_gradient(
-            self.prior.encode_images(gt, k_enc)
-        )
-
-        b = images.shape[0]
-        loss_f = jnp.sum((latents - gt_latents) ** 2) / b
-        loss_l1 = jnp.sum(jnp.abs(images - gt)) / b
-        out = {"loss_f": loss_f, "loss_l1": loss_l1}
-        if self.perceptual_fn is not None:
-            out["loss_p"] = jnp.sum(self.perceptual_fn(images, gt)) / b
-        return out
+        return self.du_loss_terms(images, gt, k_enc)

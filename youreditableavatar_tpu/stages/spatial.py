@@ -303,6 +303,20 @@ class HumanEditConfig:
     lambda_normal: ScheduleSpec = 100.0
     lambda_normal_sub: ScheduleSpec = 100.0
     lambda_mask: ScheduleSpec = 100.0
+    # Multi-step "du" edit mode (`sds_du_guidance.py:40-42,276-314`): when
+    # use_sds is False the SDS term is replaced by latent-MSE ("f") + image
+    # L1 + perceptual pulls toward a cached multi-step-denoised edit of the
+    # current render, refreshed every `guidance.cfg.per_editing_step` steps
+    # (requires an `SDSDUGuidance` instance). Weight names follow the
+    # reference's lambda_<loss-suffix> convention (`humanedit.py:295-299`).
+    # The reference keys the edit cache by the dataloader's view index; our
+    # camera stream is random per step, so the stable analog is an azimuth
+    # bucket (du_view_buckets sectors).
+    use_sds: bool = True
+    lambda_f: ScheduleSpec = 1.0
+    lambda_l1: ScheduleSpec = 10.0
+    lambda_p: ScheduleSpec = 10.0
+    du_view_buckets: int = 16
     camera: RandomCameraConfig = dataclasses.field(
         default_factory=lambda: RandomCameraConfig(
             elevation_range=(-5, 10),
@@ -358,6 +372,7 @@ class HumanEditTrainer:
             policy=cfg.overflow_policy, name="human-edit-mesh"
         )
         self._step_fns: Dict[bool, Any] = {}
+        self._render_fns: Dict[bool, Any] = {}  # du-mode refresh renders
         # Visual checkpoints (normal grids every cfg.image_every steps) are
         # written here when set (`humanedit.py:257-292`).
         self.save_dir: Optional[str] = None
@@ -408,7 +423,7 @@ class HumanEditTrainer:
         def step(params, opt_state, cam_l_arr, cam_g_arr, cond, uncond, key,
                  weights, min_t, max_t, control_sdf, global_step,
                  guide_normal, guide_mask, guide_flag, sdf_cache,
-                 refresh_idx):
+                 refresh_idx, du_gt):
             cam_l = RasterCamera(*cam_l_arr, width=w, height=h)
             cam_g = RasterCamera(*cam_g_arr, width=w, height=h)
             # Progressive hash-grid band (`networks.py:97-106`).
@@ -435,10 +450,29 @@ class HumanEditTrainer:
                     maps["global_comp_normal"] if use_global
                     else maps["local_comp_normal"]
                 )
-                sds = guidance(
-                    normal_img[None], cond, uncond, key_sds, min_t, max_t
-                )
-                loss = weights["sds"] * sds["loss_sds"]
+                if cfg.use_sds:
+                    sds = guidance(
+                        normal_img[None], cond, uncond, key_sds, min_t,
+                        max_t
+                    )
+                    loss = weights["sds"] * sds["loss_sds"]
+                    sds_aux = {"sds": sds["loss_sds"]}
+                else:
+                    # du edit mode: pull the render toward the cached
+                    # multi-step edit `du_gt` (refreshed host-side in
+                    # train_step; `sds_du_guidance.py:306-314`).
+                    k_enc, _, _ = jax.random.split(key_sds, 3)
+                    du = guidance.du_loss_terms(
+                        normal_img[None], du_gt[None], k_enc
+                    )
+                    loss = (
+                        weights["du_f"] * du["loss_f"]
+                        + weights["du_l1"] * du["loss_l1"]
+                        + weights["du_p"] * du.get("loss_p", 0.0)
+                    )
+                    sds_aux = {
+                        "du_f": du["loss_f"], "du_l1": du["loss_l1"],
+                    }
 
                 # Surface-aware recon: keep-region vertices must match the
                 # frozen field (`humanedit.py:198-204`, `forward_field`
@@ -468,7 +502,7 @@ class HumanEditTrainer:
                 loss = loss + weights["nc"] * loss_nc
 
                 aux = {
-                    "sds": sds["loss_sds"],
+                    **sds_aux,
                     "recon": loss_recon,
                     "control": loss_ctrl,
                     "nc": loss_nc,
@@ -515,6 +549,47 @@ class HumanEditTrainer:
             return params, opt_state, loss, aux, normal_img, new_cache
 
         return jax.jit(step)
+
+    def _make_render(self, use_global: bool):
+        """Loss-free render of the current edit surface (du-mode cache
+        refresh needs the CURRENT render before the training step;
+        `sds_du_guidance.py:292-304` refreshes from the step's render)."""
+        cfg = self.cfg
+        geometry = self.geometry
+        field = self.field
+        part = self.partition
+        mesh_cfg = self.mesh_cfg
+        h, w = cfg.camera.height, cfg.camera.width
+        from youreditableavatar_tpu.ops.gaussian_raster.types import (
+            RasterCamera,
+        )
+
+        use_cache = cfg.sdf_cache_refresh > 0
+
+        def render(params, cam_l_arr, cam_g_arr, global_step, sdf_cache,
+                   refresh_idx):
+            cam_l = RasterCamera(*cam_l_arr, width=w, height=h)
+            cam_g = RasterCamera(*cam_g_arr, width=w, height=h)
+            lm = field.level_mask(global_step)
+            if use_cache:
+                # Discard the cache update — the training step recomputes
+                # and carries it (this render must not double-advance the
+                # rotating refresh slice's staleness bookkeeping).
+                mt, _ = geometry.part_isosurface_cached(
+                    params, part, sdf_cache, refresh_idx, level_mask=lm
+                )
+            else:
+                mt = geometry.part_isosurface(params, part, level_mask=lm)
+            maps = render_part_maps(
+                part.keep_mesh, mt, cam_l,
+                cam_g if use_global else None, mesh_cfg,
+            )
+            return (
+                maps["global_comp_normal"] if use_global
+                else maps["local_comp_normal"]
+            )
+
+        return jax.jit(render)
 
     def train_step(self, key: jax.Array) -> Dict[str, float]:
         cfg = self.cfg
@@ -572,6 +647,18 @@ class HumanEditTrainer:
                 jnp.float32,
             ),
             "nc": jnp.asarray(C(nc_spec, 0, step_i), jnp.float32),
+            "du_f": jnp.asarray(
+                C(cfg.lambda_f, 0, step_i) if not cfg.use_sds else 0.0,
+                jnp.float32,
+            ),
+            "du_l1": jnp.asarray(
+                C(cfg.lambda_l1, 0, step_i) if not cfg.use_sds else 0.0,
+                jnp.float32,
+            ),
+            "du_p": jnp.asarray(
+                C(cfg.lambda_p, 0, step_i) if not cfg.use_sds else 0.0,
+                jnp.float32,
+            ),
         }
         # Image-guided editing: random front/back choice per step
         # (`humanedit.py:161-162`); flag 0 = front.
@@ -625,13 +712,41 @@ class HumanEditTrainer:
         else:  # dummies (static shapes; unused by the step)
             sdf_cache = jnp.zeros((1,), jnp.float32)
             refresh_idx = jnp.zeros((1,), jnp.int32)
+
+        # du edit mode: refresh the per-view-bucket edited-image cache from
+        # the CURRENT render when due, then hand the cached edit to the
+        # jitted step (`sds_du_guidance.py:292-304`; the cache is host
+        # state, exactly like the reference's `self.edited_images`).
+        if not cfg.use_sds:
+            az = float(batch.azimuth_deg[0]) % 360.0
+            bucket = int(az / 360.0 * cfg.du_view_buckets) \
+                % cfg.du_view_buckets
+            key_sds_host, _ = jax.random.split(key)
+            per_edit = int(getattr(self.guidance.cfg, "per_editing_step", 10))
+            if (bucket not in self.guidance.edited_images
+                    or step_i % per_edit == 0):
+                if use_global not in self._render_fns:
+                    self._render_fns[use_global] = \
+                        self._make_render(use_global)
+                cur = self._render_fns[use_global](
+                    self.params, cam_l_arr, cam_g_arr, jnp.int32(step_i),
+                    sdf_cache, refresh_idx,
+                )
+                self.guidance.maybe_refresh(
+                    cur[None], jnp.asarray(cond), jnp.asarray(uncond),
+                    key_sds_host, min_t, max_t, bucket, step_i,
+                )
+            du_gt = self.guidance.edited_images[bucket][0]
+        else:
+            du_gt = jnp.zeros((h, w, 3), jnp.float32)
+
         (self.params, self.opt_state, loss, aux, normal_img,
          new_cache) = step_fn(
             self.params, self.opt_state, cam_l_arr, cam_g_arr,
             jnp.asarray(cond), jnp.asarray(uncond), key, weights,
             jnp.asarray(min_t), jnp.asarray(max_t), ctrl,
             jnp.int32(step_i), guide_normal, guide_mask,
-            jnp.float32(guide_flag), sdf_cache, refresh_idx,
+            jnp.float32(guide_flag), sdf_cache, refresh_idx, du_gt,
         )
         if self.cfg.sdf_cache_refresh > 0:
             self._sdf_cache = new_cache
@@ -647,6 +762,7 @@ class HumanEditTrainer:
             if new_mcfg is not None:
                 self.mesh_cfg = new_mcfg
                 self._step_fns.clear()
+                self._render_fns.clear()
         # Visual checkpoint: the training normal map every image_every steps
         # (`humanedit.py:257-292` normal grids).
         if self.save_dir is not None and step_i % cfg.image_every == 0:

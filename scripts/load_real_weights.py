@@ -70,6 +70,31 @@ def _first(dirpath, *names):
     return None
 
 
+def preflight_keys(sd, manifest, ignorable=(), label=""):
+    """Diff a loaded state dict's key set against the official manifest
+    BEFORE converting, so a layout mismatch reports as a readable key diff
+    instead of a shape crash mid-conversion.
+
+    `ignorable`: exact keys or substring patterns (buffers / unused heads
+    the converters deliberately skip — `guidance/manifests.py`)."""
+    keys = set(sd.keys())
+    expected = set(manifest)
+
+    def ignored(k):
+        return any(p == k or p in k for p in ignorable)
+
+    missing = sorted(k for k in expected - keys)
+    extra = sorted(k for k in keys - expected if not ignored(k))
+    if missing or extra:
+        msg = [f"{label}: key-set mismatch vs official manifest"]
+        if missing:
+            msg.append(f"  missing ({len(missing)}): {missing[:6]}...")
+        if extra:
+            msg.append(f"  unexpected ({len(extra)}): {extra[:6]}...")
+        raise ValueError("\n".join(msg))
+    return f"{len(expected)} keys match the official manifest"
+
+
 def check(name, fn):
     t0 = time.time()
     try:
@@ -125,6 +150,23 @@ def main():
             prior = SD15Prior.random_init(k1)
             enc = CLIPPromptEncoder.random_init(k2)
         else:
+            from youreditableavatar_tpu.guidance.manifests import (
+                IGNORABLE_KEYS,
+                clip_text_manifest,
+                unet_manifest,
+                vae_manifest,
+            )
+            from youreditableavatar_tpu.guidance.sd_unet import SD15_UNET
+            from youreditableavatar_tpu.guidance.sd_vae import SD_VAE
+
+            print("      " + preflight_keys(
+                _load_sd(unet), unet_manifest(SD15_UNET),
+                label="sd15/unet"))
+            print("      " + preflight_keys(
+                _load_sd(vae), vae_manifest(SD_VAE), label="sd15/vae"))
+            print("      " + preflight_keys(
+                _load_sd(txt), clip_text_manifest(SD15_CLIP),
+                IGNORABLE_KEYS, label="sd15/text_encoder"))
             prior = SD15Prior.from_torch_files(str(unet), str(vae))
             enc = CLIPPromptEncoder.from_torch_file(
                 str(txt), SD15_CLIP, tokenizer_dir=str(d / "tokenizer"))
@@ -170,6 +212,24 @@ def main():
         # are pinned separately in tests/test_sd15.py) — this validates the
         # unet/vae/controlnet converters + the full inpaint loop.
         cfg = SDXLPipelineConfig()
+        from youreditableavatar_tpu.guidance.manifests import (
+            controlnet_union_manifest,
+            unet_manifest,
+            vae_manifest,
+        )
+        from youreditableavatar_tpu.guidance.sd_unet import SDXL_UNET
+        from youreditableavatar_tpu.guidance.sd_vae import SDXL_VAE
+        from youreditableavatar_tpu.guidance.sdxl_controlnet import (
+            SDXL_CONTROLNET_UNION,
+        )
+
+        print("      " + preflight_keys(
+            _load_sd(unet), unet_manifest(SDXL_UNET), label="sdxl/unet"))
+        print("      " + preflight_keys(
+            _load_sd(vae), vae_manifest(SDXL_VAE), label="sdxl/vae"))
+        print("      " + preflight_keys(
+            _load_sd(cn), controlnet_union_manifest(SDXL_CONTROLNET_UNION),
+            label="sdxl/controlnet_union"))
         key = jax.random.PRNGKey(1)
         text = _ProjectedTextEncoder(
             CLIPPromptEncoder.random_init(key), cfg.unet, key)
@@ -202,6 +262,22 @@ def main():
                 dino_vocab=str(w / "vocab.txt")
                 if (w / "vocab.txt").exists() else None,
             )
+            from youreditableavatar_tpu.guidance.manifests import (
+                SAM_UNCONSUMED,
+                sam_manifest,
+            )
+            from youreditableavatar_tpu.guidance.sam import (
+                SAM_VIT_H,
+                SAM_VIT_L,
+            )
+
+            cfg_by_name = {"sam_vit_h.pth": SAM_VIT_H,
+                           "sam_vit_l.pth": SAM_VIT_L}
+            sam_cfg = cfg_by_name.get(Path(sam_p).name)
+            if sam_cfg is not None:
+                print("      " + preflight_keys(
+                    _load_sd(sam_p), sam_manifest(sam_cfg),
+                    SAM_UNCONSUMED, label="sam"))
         rng = np.random.default_rng(0)
         img = rng.uniform(0, 1, (128, 96, 3)).astype(np.float32)
         mask = seg.segment(img, "the jacket")

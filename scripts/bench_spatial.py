@@ -107,6 +107,11 @@ def main():
         default="stub",
     )
     ap.add_argument("--steps", type=int, default=TIME_STEPS)
+    ap.add_argument(
+        "--start-step", type=int, default=0,
+        help="measure from this global step (the progressive level "
+        "curriculum makes step cost step-dependent: 8 active hash levels "
+        "at step 0, all 16 from step 8000 of the reference's 10k budget)")
     args = ap.parse_args()
 
     field = SDFField(SDFFieldConfig(sdf_bias="sphere", sdf_bias_radius=0.45))
@@ -135,7 +140,8 @@ def main():
         field, geometry, part, params, guidance, prompts, prompts, cfg,
         MeshRasterConfig(),
     )
-    log("trainer built")
+    trainer.global_step = args.start_step
+    log(f"trainer built (start step {args.start_step})")
 
     time_steps = args.steps
     key = jax.random.PRNGKey(1)
@@ -159,6 +165,7 @@ def main():
                 "unit": "steps/s",
                 "detail": {
                     "step_ms": dt * 1e3,
+                    "start_step": args.start_step,
                     "grid_res": GRID_RES,
                     "image_hw": HW,
                     "guidance": guidance_desc,

@@ -39,7 +39,32 @@ def main():
     ap.add_argument("--tpu-log", default=None)
     ap.add_argument("--step-ms", type=float, default=16.49,
                     help="measured 1-chip step for the analytic model")
+    ap.add_argument("--run", action="store_true",
+                    help="run bench_sharded for BOTH logs before "
+                    "assembling: the virtual 8-CPU mesh sweep and the "
+                    "1-device TPU mesh row (needs the chip free). This is "
+                    "the one-command regeneration path so a round can't "
+                    "silently drop the hardware row.")
     args = ap.parse_args()
+
+    if args.run:
+        import os
+
+        bench = str(Path(__file__).parent / "bench_sharded.py")
+        cpu_log = "/tmp/sharded_cpu.log"
+        tpu_log = "/tmp/sharded_tpu.log"
+        env = dict(os.environ)
+        env.update(JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        with open(cpu_log, "w") as f:
+            subprocess.check_call([sys.executable, bench], env=env,
+                                  stdout=f)
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        with open(tpu_log, "w") as f:
+            subprocess.check_call([sys.executable, bench], env=env,
+                                  stdout=f)
+        args.cpu_log, args.tpu_log = cpu_log, tpu_log
 
     analytic = json.loads(subprocess.check_output(
         [sys.executable, str(Path(__file__).parent / "scaling_analysis.py"),

@@ -364,6 +364,31 @@ class TestHashGrid:
             err_msg="point grad",
         )
 
+    def test_n_active_static_skip_is_exact(self, rng):
+        """`n_active` (static level skip) must be bit-identical to the
+        traced-mask path for values AND grads — masked levels produce
+        zero features and exactly-zero table grads either way."""
+        cfg = HashGridConfig(n_levels=6, log2_hashmap_size=8,
+                             base_resolution=4, progressive=True,
+                             start_level=3, update_steps=100)
+        params = init_hashgrid_params(jax.random.PRNGKey(0), cfg)
+        x = jnp.asarray(rng.uniform(0.05, 0.95, (128, 3)), jnp.float32)
+        lm = progressive_level_mask(cfg, 150)  # 4 of 6 active
+
+        def loss(p, n_active):
+            return jnp.sum(
+                hashgrid_encode(p, x, cfg, lm, n_active=n_active) ** 2
+            )
+
+        np.testing.assert_array_equal(
+            np.asarray(hashgrid_encode(params, x, cfg, lm)),
+            np.asarray(hashgrid_encode(params, x, cfg, lm, n_active=4)),
+        )
+        ga = jax.grad(loss)(params, None)
+        gb = jax.grad(loss)(params, 4)
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+        assert float(jnp.abs(gb[4:]).max()) == 0.0  # masked: exactly zero
+
     def test_progressive_mask(self):
         cfg = HashGridConfig(
             n_levels=8, progressive=True, start_level=2, start_step=0,

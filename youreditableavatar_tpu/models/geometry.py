@@ -194,6 +194,7 @@ class TetGeometry:
         params: Dict[str, Any],
         part: Partition,
         level_mask: Optional[Array] = None,
+        n_active: Optional[int] = None,
     ) -> MTOutput:
         """Update-region surface from the live field (differentiable).
 
@@ -220,11 +221,12 @@ class TetGeometry:
         live_idx = part.live_vert_idx
         live_vals = jax.lax.stop_gradient(
             self.field.forward_sdf(
-                params, self.grid_pos[live_idx], level_mask=level_mask
+                params, self.grid_pos[live_idx], level_mask=level_mask,
+                n_active=n_active,
             )
         )
         sdf0 = part.frozen_sdf.at[live_idx].set(live_vals)
-        mt, _ = self._part_core(params, part, sdf0, level_mask)
+        mt, _ = self._part_core(params, part, sdf0, level_mask, n_active)
         return mt
 
     def part_isosurface_cached(
@@ -234,6 +236,7 @@ class TetGeometry:
         sdf_cache: Array,
         refresh_idx: Array,
         level_mask: Optional[Array] = None,
+        n_active: Optional[int] = None,
     ) -> Tuple[MTOutput, Array]:
         """`part_isosurface` with a carried selection cache (jittable).
 
@@ -255,11 +258,12 @@ class TetGeometry:
         """
         refresh_vals = jax.lax.stop_gradient(
             self.field.forward_sdf(
-                params, self.grid_pos[refresh_idx], level_mask=level_mask
+                params, self.grid_pos[refresh_idx], level_mask=level_mask,
+                n_active=n_active,
             )
         )
         sdf0 = sdf_cache.at[refresh_idx].set(refresh_vals)
-        return self._part_core(params, part, sdf0, level_mask)
+        return self._part_core(params, part, sdf0, level_mask, n_active)
 
     def _part_core(
         self,
@@ -267,6 +271,7 @@ class TetGeometry:
         part: Partition,
         sdf0: Array,
         level_mask: Optional[Array],
+        n_active: Optional[int] = None,
     ) -> Tuple[MTOutput, Array]:
         """Selection on `sdf0` (stop-grad composite), sparse grad requery,
         subdivision + marching tets. Returns (mt, new_cache) where new_cache
@@ -295,7 +300,8 @@ class TetGeometry:
         live_flat = live_sel.reshape(-1)
         sv = jnp.where(live_flat, sub_tets.reshape(-1), 0)
         fresh = self.field.forward_sdf(
-            params, self.grid_pos[sv], level_mask=level_mask
+            params, self.grid_pos[sv], level_mask=level_mask,
+            n_active=n_active,
         )
         # Owner bookkeeping routes non-live rows to a sentinel slot `nv`
         # (NOT vertex 0): if grid vertex 0 is itself a live selected corner,
@@ -315,7 +321,7 @@ class TetGeometry:
         n_base = self.grid_pos.shape[0]
         mids = fine_pos[n_base:]
         mid_live = self.field.forward_sdf_chunked(
-            params, mids, level_mask=level_mask
+            params, mids, level_mask=level_mask, n_active=n_active
         )
         fine_sdf = jnp.concatenate([sdf, mid_live])
         mt = marching_tets(

@@ -92,10 +92,16 @@ class SDFField:
         params: Dict[str, Any],
         points: Array,
         level_mask: Optional[Array] = None,
+        n_active: Optional[int] = None,
     ) -> Array:
-        """(N, 3) → (N,) signed distance."""
+        """(N, 3) → (N,) signed distance.
+
+        `n_active` (STATIC) skips masked progressive levels entirely —
+        trainers derive it host-side from the step (exact; see
+        `hashgrid_encode`)."""
         x = self.contract(points)
-        enc = hashgrid_encode(params["grid"], x, self.cfg.grid, level_mask)
+        enc = hashgrid_encode(params["grid"], x, self.cfg.grid, level_mask,
+                              n_active=n_active)
         sdf = mlp_apply(params["mlp"], enc)[..., 0]
         return sdf + self._bias(points)
 
@@ -162,18 +168,20 @@ class SDFField:
         points: Array,
         chunk: int = 262144,
         level_mask: Optional[Array] = None,
+        n_active: Optional[int] = None,
     ) -> Array:
         """Chunked field eval (`chunk_batch`, `utils/ops.py:112-180`): scan
         over fixed-size chunks to bound activation memory on big tet grids."""
         n = points.shape[0]
         if n <= chunk:
-            return self.forward_sdf(params, points, level_mask)
+            return self.forward_sdf(params, points, level_mask, n_active)
         pad = (-n) % chunk
         pts = jnp.pad(points, ((0, pad), (0, 0)))
         blocks = pts.reshape(-1, chunk, 3)
 
         def body(_, block):
-            return None, self.forward_sdf(params, block, level_mask)
+            return None, self.forward_sdf(params, block, level_mask,
+                                          n_active)
 
         _, out = jax.lax.scan(body, None, blocks)
         return out.reshape(-1)[:n]

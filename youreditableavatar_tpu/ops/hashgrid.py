@@ -130,39 +130,50 @@ def _encode_xla(
     cfg: HashGridConfig,
     level_mask: Optional[Array],
     want_residuals: bool = False,
+    n_active: Optional[int] = None,
 ):
     """XLA path; optionally returns per-level corner features (residuals
-    for the custom backward)."""
+    for the custom backward).
+
+    `n_active` (STATIC) computes only the first n levels — exact under the
+    progressive curriculum, whose mask zeroes the rest anyway (masked
+    features are 0 and masked tables get exactly-zero gradients either
+    way); the remaining features are zero-filled."""
+    la = cfg.n_levels if n_active is None else n_active
     x = jnp.clip(x, 0.0, 1.0)
     feats = []
     cfs = []
-    for lvl, res in enumerate(cfg.level_resolutions()):
+    for lvl, res in enumerate(cfg.level_resolutions()[:la]):
         idx, wx, wy, wz = _level_corners(x, res, cfg.table_size)
         cf = params[lvl][idx]  # (N, 8, F)
         weight = wx * wy * wz  # (N, 8)
         feats.append(jnp.sum(cf * weight[..., None], axis=1))  # (N, F)
         if want_residuals:
             cfs.append(cf)
-    out = jnp.stack(feats, axis=1)  # (N, L, F)
+    out = jnp.stack(feats, axis=1)  # (N, la, F)
     if level_mask is not None:
-        out = out * level_mask[None, :, None]
+        out = out * level_mask[None, :la, None]
+    if la < cfg.n_levels:
+        out = jnp.pad(out, ((0, 0), (0, cfg.n_levels - la), (0, 0)))
     out = out.reshape(x.shape[0], cfg.out_dim)
     if want_residuals:
-        return out, jnp.stack(cfs)  # (L, N, 8, F)
+        return out, jnp.stack(cfs)  # (la, N, 8, F)
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _encode_tpu(cfg: HashGridConfig, params, x, level_mask):
-    return _encode_xla(params, x, cfg, level_mask)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _encode_tpu(cfg: HashGridConfig, n_active, params, x, level_mask):
+    return _encode_xla(params, x, cfg, level_mask, n_active=n_active)
 
 
-def _encode_tpu_fwd(cfg, params, x, level_mask):
-    out, cf = _encode_xla(params, x, cfg, level_mask, want_residuals=True)
+def _encode_tpu_fwd(cfg, n_active, params, x, level_mask):
+    out, cf = _encode_xla(
+        params, x, cfg, level_mask, want_residuals=True, n_active=n_active
+    )
     return out, (x, cf, level_mask)
 
 
-def _encode_tpu_bwd(cfg, residuals, g):
+def _encode_tpu_bwd(cfg, n_active, residuals, g):
     """Table grad via the Pallas scatter kernel; point grad in XLA.
 
     level_mask gets a zero cotangent (it is a step-derived curriculum
@@ -171,17 +182,18 @@ def _encode_tpu_bwd(cfg, residuals, g):
     from youreditableavatar_tpu.ops.hashgrid_pallas import hash_scatter_add
 
     x, cf, level_mask = residuals
+    la = cfg.n_levels if n_active is None else n_active
     n = x.shape[0]
     xc = jnp.clip(x, 0.0, 1.0)
-    g3 = g.reshape(n, cfg.n_levels, cfg.n_features_per_level)
-    g3 = g3 * level_mask[None, :, None]
+    g3 = g.reshape(n, cfg.n_levels, cfg.n_features_per_level)[:, :la]
+    g3 = g3 * level_mask[None, :la, None]
 
     sgn = jnp.asarray(_OFFSETS, jnp.float32) * 2.0 - 1.0  # (8, 3) ±1
     in_rng = ((x > 0.0) & (x < 1.0)).astype(jnp.float32)  # clip grad mask
 
     idx_all, v0_all, v1_all = [], [], []
     dx = jnp.zeros_like(x)
-    for lvl, res in enumerate(cfg.level_resolutions()):
+    for lvl, res in enumerate(cfg.level_resolutions()[:la]):
         idx, wx, wy, wz = _level_corners(xc, res, cfg.table_size)
         weight = wx * wy * wz
         gl = g3[:, lvl, :]  # (N, F)
@@ -208,6 +220,10 @@ def _encode_tpu_bwd(cfg, residuals, g):
         jnp.stack(v1_all),
         cfg.table_size,
     )
+    if la < cfg.n_levels:
+        dparams = jnp.pad(
+            dparams, ((0, cfg.n_levels - la), (0, 0), (0, 0))
+        )
     return dparams, dx, jnp.zeros_like(level_mask)
 
 
@@ -231,6 +247,7 @@ def hashgrid_encode(
     cfg: HashGridConfig,
     level_mask: Optional[Array] = None,
     backend: Optional[str] = None,
+    n_active: Optional[int] = None,
 ) -> Array:
     """Encode positions with the multiresolution hash grid.
 
@@ -242,6 +259,10 @@ def hashgrid_encode(
       backend: "pallas" (TPU custom-VJP scatter kernel), "xla", or None
         for auto (pallas on TPU, xla elsewhere; override with
         YEA_HASHGRID_BACKEND).
+      n_active: STATIC count of progressive levels to actually compute
+        (trainers derive it host-side from the step; exact — masked
+        levels produce zero features and zero table grads either way,
+        this just skips their gather/scatter work).
     Returns:
       (N, L*F) features.
     """
@@ -256,8 +277,8 @@ def hashgrid_encode(
             if level_mask is not None
             else jnp.ones((cfg.n_levels,), jnp.float32)
         )
-        return _encode_tpu(cfg, params, x, mask)
-    return _encode_xla(params, x, cfg, level_mask)
+        return _encode_tpu(cfg, n_active, params, x, mask)
+    return _encode_xla(params, x, cfg, level_mask, n_active=n_active)
 
 
 def progressive_level_mask(cfg: HashGridConfig, global_step: int | Array) -> Array:

@@ -423,11 +423,17 @@ class HumanEditTrainer:
         def step(params, opt_state, cam_l_arr, cam_g_arr, cond, uncond, key,
                  weights, min_t, max_t, control_sdf, global_step,
                  guide_normal, guide_mask, guide_flag, sdf_cache,
-                 refresh_idx, du_gt):
+                 refresh_idx, du_gt, n_active=None):
             cam_l = RasterCamera(*cam_l_arr, width=w, height=h)
             cam_g = RasterCamera(*cam_g_arr, width=w, height=h)
-            # Progressive hash-grid band (`networks.py:97-106`).
-            lm = field.level_mask(global_step)
+            # Progressive hash-grid band (`networks.py:97-106`). n_active
+            # is STATIC (host-derived from the step) so masked levels'
+            # gather/scatter work is skipped entirely, not just zeroed.
+            if n_active is None:
+                lm = field.level_mask(global_step)
+            else:
+                lm = (jnp.arange(field.cfg.grid.n_levels)
+                      < n_active).astype(jnp.float32)
 
             # Independent streams for the SDS noise draw and the recon/
             # control point sampling — reusing one key correlates the
@@ -437,10 +443,12 @@ class HumanEditTrainer:
             def loss_fn(p):
                 if use_cache:
                     mt, new_cache = geometry.part_isosurface_cached(
-                        p, part, sdf_cache, refresh_idx, level_mask=lm
+                        p, part, sdf_cache, refresh_idx, level_mask=lm,
+                        n_active=n_active,
                     )
                 else:
-                    mt = geometry.part_isosurface(p, part, level_mask=lm)
+                    mt = geometry.part_isosurface(
+                        p, part, level_mask=lm, n_active=n_active)
                     new_cache = sdf_cache
                 maps = render_part_maps(
                     part.keep_mesh, mt, cam_l,
@@ -480,7 +488,8 @@ class HumanEditTrainer:
                 k_idx = jax.random.randint(
                     key_pts, (cfg.recon_points,), 0, nv
                 )
-                live = field.forward_sdf(p, grid_pos[k_idx], level_mask=lm)
+                live = field.forward_sdf(p, grid_pos[k_idx],
+                                         level_mask=lm, n_active=n_active)
                 frozen = self.recon_sdf[k_idx]
                 keep_w = (~part.live_vert_mask[k_idx]).astype(jnp.float32)
                 loss_recon = jnp.sum(keep_w * (live - frozen) ** 2)
@@ -548,7 +557,7 @@ class HumanEditTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, aux, normal_img, new_cache
 
-        return jax.jit(step)
+        return jax.jit(step, static_argnums=(18,))
 
     def _make_render(self, use_global: bool):
         """Loss-free render of the current edit surface (du-mode cache
@@ -567,19 +576,25 @@ class HumanEditTrainer:
         use_cache = cfg.sdf_cache_refresh > 0
 
         def render(params, cam_l_arr, cam_g_arr, global_step, sdf_cache,
-                   refresh_idx):
+                   refresh_idx, n_active=None):
             cam_l = RasterCamera(*cam_l_arr, width=w, height=h)
             cam_g = RasterCamera(*cam_g_arr, width=w, height=h)
-            lm = field.level_mask(global_step)
+            if n_active is None:
+                lm = field.level_mask(global_step)
+            else:
+                lm = (jnp.arange(field.cfg.grid.n_levels)
+                      < n_active).astype(jnp.float32)
             if use_cache:
                 # Discard the cache update — the training step recomputes
                 # and carries it (this render must not double-advance the
                 # rotating refresh slice's staleness bookkeeping).
                 mt, _ = geometry.part_isosurface_cached(
-                    params, part, sdf_cache, refresh_idx, level_mask=lm
+                    params, part, sdf_cache, refresh_idx, level_mask=lm,
+                    n_active=n_active,
                 )
             else:
-                mt = geometry.part_isosurface(params, part, level_mask=lm)
+                mt = geometry.part_isosurface(
+                    params, part, level_mask=lm, n_active=n_active)
             maps = render_part_maps(
                 part.keep_mesh, mt, cam_l,
                 cam_g if use_global else None, mesh_cfg,
@@ -589,7 +604,7 @@ class HumanEditTrainer:
                 else maps["local_comp_normal"]
             )
 
-        return jax.jit(render)
+        return jax.jit(render, static_argnums=(6,))
 
     def train_step(self, key: jax.Array) -> Dict[str, float]:
         cfg = self.cfg
@@ -713,6 +728,18 @@ class HumanEditTrainer:
             sdf_cache = jnp.zeros((1,), jnp.float32)
             refresh_idx = jnp.zeros((1,), jnp.int32)
 
+        # Static progressive level count (exact skip of masked levels'
+        # hash work; same formula as progressive_level_mask).
+        gcfg = self.field.cfg.grid
+        if gcfg.progressive:
+            n_active = int(min(
+                gcfg.start_level
+                + max(step_i - gcfg.start_step, 0) // gcfg.update_steps,
+                gcfg.n_levels,
+            ))
+        else:
+            n_active = gcfg.n_levels
+
         # du edit mode: refresh the per-view-bucket edited-image cache from
         # the CURRENT render when due, then hand the cached edit to the
         # jitted step (`sds_du_guidance.py:292-304`; the cache is host
@@ -730,7 +757,7 @@ class HumanEditTrainer:
                         self._make_render(use_global)
                 cur = self._render_fns[use_global](
                     self.params, cam_l_arr, cam_g_arr, jnp.int32(step_i),
-                    sdf_cache, refresh_idx,
+                    sdf_cache, refresh_idx, n_active,
                 )
                 self.guidance.maybe_refresh(
                     cur[None], jnp.asarray(cond), jnp.asarray(uncond),
@@ -747,6 +774,7 @@ class HumanEditTrainer:
             jnp.asarray(min_t), jnp.asarray(max_t), ctrl,
             jnp.int32(step_i), guide_normal, guide_mask,
             jnp.float32(guide_flag), sdf_cache, refresh_idx, du_gt,
+            n_active,
         )
         if self.cfg.sdf_cache_refresh > 0:
             self._sdf_cache = new_cache

@@ -88,25 +88,87 @@ def main():
     from youreditableavatar_tpu.guidance.sd_vae import vae_encode
 
     def time_it(f, args, iters=10, perturb=None):
+        """perturb(out, args) -> args MUST change input content every
+        iteration: the axon runtime dedupes content-identical executions,
+        so constant-args loops time the cache, not the chip."""
         out = f(*args)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for i in range(iters):
+            args = perturb(out, args)
             out = f(*args)
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / iters * 1e3
 
-    print(f"[{time.strftime('%H:%M:%S')}] UNet fwd (B=2, 64² latents)",
-          file=sys.stderr, flush=True)
+    print(f"[{time.strftime('%H:%M:%S')}] UNet fwd (B=2, 64² latents), "
+          "stage-wise jits", file=sys.stderr, flush=True)
+    # One jit around even the BARE 860M UNet exceeds the remote-compile
+    # tunnel (broken pipe ~35 min in, r4 and r5 both). The stages of
+    # apply_unet compile separately in minutes; the sum over stages equals
+    # the full forward up to XLA fusion across stage boundaries (stage
+    # seams are single (B, h, w, C) activations — negligible traffic).
+    from youreditableavatar_tpu.guidance.sd_unet import (
+        apply_unet_down,
+        apply_unet_mid,
+        apply_unet_out,
+        apply_unet_up_level,
+    )
+
     zz = jnp.zeros((2, 64, 64, 4), jnp.bfloat16)
     tt = jnp.array([500, 500])
     ctx = jnp.zeros((2, 77, 768), jnp.bfloat16)
-    unet_f = jax.jit(
-        lambda z, t, c: apply_unet(prior.unet_params, z, t, c, SD15_UNET)
+    up = prior.unet_params
+
+    down_f = jax.jit(
+        lambda z, t, c: apply_unet_down(up, z, t, c, SD15_UNET))
+    h, skips, temb = jax.block_until_ready(down_f(zz, tt, ctx))
+    def bump(x, out):
+        """Content-changing scalar nudge (axon dedupes identical runs)."""
+        lead = jax.tree_util.tree_leaves(out)[0]
+        return x + lead.ravel()[0].astype(x.dtype) * jnp.asarray(
+            1e-6, x.dtype)
+
+    ms_parts = {}
+    ms_parts["down"] = time_it(
+        down_f, (zz, tt, ctx),
+        perturb=lambda out, a: (bump(a[0], out), a[1], a[2]),
     )
-    ms_unet = time_it(unet_f, (zz, tt, ctx))
-    print(f"[{time.strftime('%H:%M:%S')}] unet {ms_unet:.1f} ms",
+    print(f"[{time.strftime('%H:%M:%S')}] down {ms_parts['down']:.1f} ms",
           file=sys.stderr, flush=True)
+
+    mid_f = jax.jit(lambda h, e, c: apply_unet_mid(up, h, e, c, SD15_UNET))
+    ms_parts["mid"] = time_it(
+        mid_f, (h, temb, ctx),
+        perturb=lambda out, a: (bump(a[0], out), a[1], a[2]),
+    )
+    print(f"[{time.strftime('%H:%M:%S')}] mid {ms_parts['mid']:.1f} ms",
+          file=sys.stderr, flush=True)
+
+    hcur = mid_f(h, temb, ctx)
+    rest = list(skips)
+    for i in range(len(up["up"])):
+        k = len(up["up"][i]["resnets"])
+        sk = tuple(rest[-k:])
+        del rest[-k:]
+        lvl_f = jax.jit(
+            lambda h, s, e, c, i=i: apply_unet_up_level(
+                up, i, h, s, e, c, SD15_UNET))
+        ms_parts[f"up{i}"] = time_it(
+            lvl_f, (hcur, sk, temb, ctx),
+            perturb=lambda out, a: (bump(a[0], out), a[1], a[2], a[3]),
+        )
+        print(f"[{time.strftime('%H:%M:%S')}] up{i} "
+              f"{ms_parts[f'up{i}']:.1f} ms", file=sys.stderr, flush=True)
+        hcur = lvl_f(hcur, sk, temb, ctx)
+
+    out_f = jax.jit(lambda h: apply_unet_out(up, h, SD15_UNET))
+    ms_parts["out"] = time_it(
+        out_f, (hcur,),
+        perturb=lambda out, a: (bump(a[0], out),),
+    )
+    ms_unet = sum(ms_parts.values())
+    print(f"[{time.strftime('%H:%M:%S')}] unet {ms_unet:.1f} ms "
+          f"({ms_parts})", file=sys.stderr, flush=True)
 
     print(f"[{time.strftime('%H:%M:%S')}] VAE encode fwd+bwd (512²)",
           file=sys.stderr, flush=True)
@@ -120,7 +182,11 @@ def main():
         return jnp.sum(z.astype(jnp.float32) ** 2)
 
     vae_g = jax.jit(jax.grad(enc_loss))
-    ms_vae = time_it(vae_g, (img, key))
+    ms_vae = time_it(
+        vae_g, (img, key),
+        perturb=lambda out, a: (
+            a[0] + out * 1e-6, jax.random.fold_in(a[1], 1)),
+    )
     print(f"[{time.strftime('%H:%M:%S')}] vae {ms_vae:.1f} ms",
           file=sys.stderr, flush=True)
 

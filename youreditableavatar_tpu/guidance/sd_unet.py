@@ -198,9 +198,36 @@ def apply_unet(
     control_residuals: optional (down_list, mid) additive skip residuals
     from a ControlNet (diffusers `down_block_additional_residuals` /
     `mid_block_additional_residual` semantics).
-    """
-    temb = unet_time_embedding(params, t, cfg, add_cond)
 
+    Implemented via the stage functions below (`apply_unet_down` /
+    `apply_unet_mid` / `apply_unet_up_level` / `apply_unet_out`) — one
+    source of truth; the stages exist so `scripts/bench_guidance.py` can
+    compile the 860M-param production UNet piece-wise (a single jit
+    exceeds the remote-compile tunnel's limits).
+    """
+    h, skips, temb = apply_unet_down(params, z, t, ctx, cfg, add_cond)
+
+    if control_residuals is not None:
+        down_res, mid_res = control_residuals
+        skips = [s + r for s, r in zip(skips, down_res)]
+
+    h = apply_unet_mid(params, h, temb, ctx, cfg)
+    if control_residuals is not None and mid_res is not None:
+        h = h + mid_res
+
+    for i in range(len(params["up"])):
+        k = len(params["up"][i]["resnets"])
+        h = apply_unet_up_level(
+            params, i, h, tuple(skips[-k:]), temb, ctx, cfg
+        )
+        del skips[-k:]
+
+    return apply_unet_out(params, h, cfg)
+
+
+def apply_unet_down(params, z, t, ctx, cfg, add_cond=None):
+    """conv_in + down path: returns (h, skip list, time embedding)."""
+    temb = unet_time_embedding(params, t, cfg, add_cond)
     chans = [cfg.base * m for m in cfg.mults]
     h = conv2d(z, params["conv_in"])
     skips = [h]
@@ -219,34 +246,40 @@ def apply_unet(
             h = conv2d(h, level["down"], stride=2,
                        padding=((1, 1), (1, 1)))
             skips.append(h)
+    return h, skips, temb
 
-    if control_residuals is not None:
-        down_res, mid_res = control_residuals
-        skips = [s + r for s, r in zip(skips, down_res)]
 
+def apply_unet_mid(params, h, temb, ctx, cfg):
+    chans = [cfg.base * m for m in cfg.mults]
     mid = params["mid"]
     h = resnet_block(h, temb, mid["res1"], cfg.groups)
     h = spatial_transformer(h, ctx, mid["attn"], cfg.heads(chans[-1]),
                             cfg.groups)
-    h = resnet_block(h, temb, mid["res2"], cfg.groups)
-    if control_residuals is not None and mid_res is not None:
-        h = h + mid_res
+    return resnet_block(h, temb, mid["res2"], cfg.groups)
 
-    for i, level in enumerate(params["up"]):
-        lvl = len(chans) - 1 - i
-        for j, res in enumerate(level["resnets"]):
-            h = jnp.concatenate([h, skips.pop()], axis=-1)
-            h = resnet_block(h, temb, res, cfg.groups)
-            if level["attns"]:
-                h = spatial_transformer(
-                    h, ctx, level["attns"][j], cfg.heads(chans[lvl]),
-                    cfg.groups,
-                )
-        if "up" in level:
-            b, hh, ww, c = h.shape
-            h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
-            h = conv2d(h, level["up"])
 
+def apply_unet_up_level(params, i, h, skips_i, temb, ctx, cfg):
+    """One up level: consumes its skip tuple (last-in-first-out)."""
+    chans = [cfg.base * m for m in cfg.mults]
+    skips = list(skips_i)
+    level = params["up"][i]
+    lvl = len(chans) - 1 - i
+    for j, res in enumerate(level["resnets"]):
+        h = jnp.concatenate([h, skips.pop()], axis=-1)
+        h = resnet_block(h, temb, res, cfg.groups)
+        if level["attns"]:
+            h = spatial_transformer(
+                h, ctx, level["attns"][j], cfg.heads(chans[lvl]),
+                cfg.groups,
+            )
+    if "up" in level:
+        b, hh, ww, c = h.shape
+        h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
+        h = conv2d(h, level["up"])
+    return h
+
+
+def apply_unet_out(params, h, cfg):
     h = jax.nn.silu(group_norm(h, params["norm_out"], cfg.groups))
     return conv2d(h, params["conv_out"])
 

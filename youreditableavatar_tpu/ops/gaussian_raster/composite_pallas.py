@@ -621,3 +621,316 @@ def _composite_bwd(ntx, nty, tile_size, interpret, residuals, cot):
 
 
 composite_tiles_pallas.defvjp(_composite_fwd, _composite_bwd)
+
+
+# --------------------------------------------------------------------------
+# Fused-gradient variant: the backward kernel accumulates per-GAUSSIAN
+# gradients in a VMEM-resident packed table instead of emitting per-pair
+# rows for an XLA scatter-add (~2.6 ms of the 512²/100k step — the CUDA
+# reference's atomicAdd path, `backward.cu:580-630`, done TPU-style: one
+# table, sequential RMW, zero atomics). The per-pair (CHUNK, 16) rows the
+# MXU reduce produces are rolled into lane-slot 16·(id mod 8) of packed row
+# id//8 — the same packing the hash-grid scatter kernel uses — and the
+# whole table writes back to HBM once, after the last tile.
+
+
+def _backward_kernel_fused(
+    starts_ref,  # scalar prefetch: (T,) int32
+    counts_ref,  # scalar prefetch: (T,) int32
+    pair_flat,  # (P_pad·16/128, 128) flat HBM view (SMEM scalar chunks)
+    fwd_ref,  # (1, 5, SUB, LANE) VMEM: forward r, g, b, T_final, count
+    cot_ref,  # (1, 4, SUB, LANE) VMEM: cotangents dr, dg, db, dT
+    acc_ref,  # out: (GPACK_PAD, 128) VMEM per-gaussian grad table,
+    #             8 gaussians × 16 lanes per row; SHARED across all tiles
+    *,
+    num_tiles_x: int,
+    tile_size: int,
+    gpack_pad: int,
+    unroll: int = 1,
+):
+    tile_id = pl.program_id(0)
+    start = starts_ref[tile_id]
+    count = counts_ref[tile_id]
+    px, py = _pixel_coords(tile_id, num_tiles_x, tile_size)
+    nchunks = pl.cdiv(count, CHUNK)
+
+    @pl.when(tile_id == 0)
+    def _():
+        acc_ref[...] = jnp.zeros((gpack_pad, LANE), jnp.float32)
+
+    gr = cot_ref[0, 0]
+    gg = cot_ref[0, 1]
+    gb = cot_ref[0, 2]
+    gt = cot_ref[0, 3]
+    t_final = fwd_ref[0, 3]
+    gt_tf = gt * t_final
+    cg_img_dot = fwd_ref[0, 0] * gr + fwd_ref[0, 1] * gg + fwd_ref[0, 2] * gb
+
+    def scoped(smem, pl_s, out_s, sems):
+        def start_dma(c, slot):
+            row0 = pl.multiple_of(
+                (start + c * CHUNK) * NUM_FIELDS // LANE, NUM_FIELDS
+            )
+            return pltpu.make_async_copy(
+                pair_flat.at[pl.ds(row0, CHUNK * NUM_FIELDS // LANE), :],
+                smem.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(nchunks > 0)
+        def _():
+            start_dma(0, 0).start()
+
+        def gauss_body(g, carry, c):
+            trans, done, pg_dot = carry
+            slot = jax.lax.rem(c, 2)
+            i = c * CHUNK + g
+            alpha, ok, dx, dy, gauss, op = _gauss_alpha(smem, slot, g, px, py)
+            ok = ok & (done < 0.5) & (i < count)
+            test_t = trans * (1.0 - alpha)
+            trigger = ok & (test_t < T_EPS)
+            contrib = ok & (~trigger)
+            a_eff = jnp.where(contrib, alpha, 0.0)
+            w = a_eff * trans
+
+            cr = _field(smem, slot, g, 6)
+            cg = _field(smem, slot, g, 7)
+            cb_ = _field(smem, slot, g, 8)
+
+            dot_cg = cr * gr + cg * gg + cb_ * gb
+            pg_dot = pg_dot + w * dot_cg
+            inv_om = 1.0 / (1.0 - a_eff)
+            dalpha = jnp.where(
+                contrib,
+                trans * dot_cg - (cg_img_dot - pg_dot + gt_tf) * inv_om,
+                0.0,
+            )
+
+            raw = op * gauss
+            dalpha = jnp.where(raw < ALPHA_CLAMP, dalpha, 0.0)
+            dpower = dalpha * op * gauss
+            ca = _field(smem, slot, g, 2)
+            cb_c = _field(smem, slot, g, 3)
+            cc = _field(smem, slot, g, 4)
+
+            dpdx = dpower * dx
+            dpdy = dpower * dy
+            pl_s[0, g] = ca * dpdx + cb_c * dpdy
+            pl_s[1, g] = cb_c * dpdx + cc * dpdy
+            pl_s[2, g] = dpdx * dx
+            pl_s[3, g] = dpdx * dy
+            pl_s[4, g] = dpdy * dy
+            pl_s[5, g] = dalpha * gauss
+            pl_s[6, g] = w * gr
+            pl_s[7, g] = w * gg
+            pl_s[8, g] = w * gb
+
+            return (jnp.where(contrib, test_t, trans),
+                    jnp.where(trigger, 1.0, done),
+                    pg_dot)
+
+        wi = jax.lax.broadcasted_iota(jnp.int32, (9 * LANE, 16), 0)
+        wj = jax.lax.broadcasted_iota(jnp.int32, (9 * LANE, 16), 1)
+        blk = wi // LANE
+        scale = jnp.where(
+            (blk == 2) | (blk == 4), -0.5, jnp.where(blk == 3, -1.0, 1.0)
+        )
+        wmat = jnp.where(blk == wj, scale, 0.0)
+
+        def reduce_chunk(slot):
+            part = jnp.sum(pl_s[...], axis=2)
+            lhs = jnp.concatenate(
+                [part[k] for k in range(9)], axis=1
+            )
+            hi = lhs.astype(jnp.bfloat16)
+            r1 = lhs - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            wb = wmat.astype(jnp.bfloat16)
+            dims = (((1,), (0,)), ((), ()))
+            sums = jax.lax.dot_general(
+                hi, wb, dims, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                mid, wb, dims, preferred_element_type=jnp.float32
+            )
+            if REDUCE_SPLIT >= 3:
+                lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                sums = sums + jax.lax.dot_general(
+                    lo, wb, dims, preferred_element_type=jnp.float32
+                )
+            out_s[0, :, 0:16] = sums
+
+        def accum_chunk(slot):
+            """Roll each pair's 16-lane grad row into its gaussian's slot
+            and RMW the shared table (sequential — no atomics needed)."""
+
+            def body(r, _):
+                gid = _field(smem, slot, r, 9).astype(jnp.int32)
+                row = out_s[0, pl.ds(r, 1), :]
+                contrib = pltpu.roll(
+                    row, NUM_FIELDS * jax.lax.rem(gid, 8), axis=1
+                )
+                hi = gid // 8
+                acc_ref[pl.ds(hi, 1), :] = (
+                    acc_ref[pl.ds(hi, 1), :] + contrib
+                )
+                return 0
+
+            jax.lax.fori_loop(0, CHUNK, body, 0, unroll=unroll)
+
+        def chunk_cond(carry):
+            c, state = carry
+            done = state[1]
+            return (c < nchunks) & (jnp.min(done) < 0.5)
+
+        def chunk_body(carry):
+            c, state = carry
+            slot = jax.lax.rem(c, 2)
+            start_dma(c, slot).wait()
+
+            @pl.when(c + 1 < nchunks)
+            def _():
+                start_dma(c + 1, jax.lax.rem(c + 1, 2)).start()
+
+            state = jax.lax.fori_loop(
+                0, CHUNK, functools.partial(gauss_body, c=c), state,
+                unroll=unroll,
+            )
+            reduce_chunk(slot)
+            accum_chunk(slot)
+            return c + 1, state
+
+        out_s[:, :, 9:] = jnp.zeros((1, CHUNK, LANE - 9), jnp.float32)
+
+        init = (
+            jnp.ones((SUB, LANE), jnp.float32),
+            jnp.zeros((SUB, LANE), jnp.float32),
+            jnp.zeros((SUB, LANE), jnp.float32),
+        )
+        # Early exit needs no zero-streaming here: untouched pairs simply
+        # never contribute to the accumulator (the old per-pair output had
+        # to overwrite its HBM rows).
+        c_end, _ = jax.lax.while_loop(
+            chunk_cond, chunk_body, (jnp.int32(0), init)
+        )
+
+        @pl.when(c_end < nchunks)
+        def _():
+            start_dma(c_end, jax.lax.rem(c_end, 2)).wait()  # drain
+
+    pl.run_scoped(
+        scoped,
+        smem=pltpu.SMEM((2, CHUNK * NUM_FIELDS // LANE, LANE), jnp.float32),
+        pl_s=pltpu.VMEM((9, CHUNK, SUB, LANE), jnp.float32),
+        out_s=pltpu.VMEM((1, CHUNK, LANE), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _backward_call_fused(
+    pair_rows, starts, counts, fwd_pack, cot_pack, n_rows, ntx, nty,
+    tile_size, interpret,
+):
+    """Returns (n_rows, NUM_FIELDS) per-gaussian grads (row 0 = zero-row
+    garbage collector, sliced off by the caller's fields_ext VJP)."""
+    num_t = starts.shape[0]
+    p_pad = pair_rows.shape[0]
+    pair_flat = pair_rows.reshape(p_pad * NUM_FIELDS // LANE, LANE)
+    gpack = -(-n_rows // 8)
+    gpack_pad = -(-gpack // 8) * 8
+    kernel = functools.partial(
+        _backward_kernel_fused, num_tiles_x=ntx, tile_size=tile_size,
+        gpack_pad=gpack_pad, unroll=1 if interpret else CHUNK,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 5, SUB, LANE), lambda t, s, c: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, SUB, LANE), lambda t, s, c: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (gpack_pad, LANE), lambda t, s, c: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    acc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((gpack_pad, LANE), jnp.float32),
+        interpret=interpret,
+    )(starts, counts, pair_flat, fwd_pack, cot_pack)
+    return acc.reshape(gpack_pad * 8, NUM_FIELDS)[:n_rows]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def composite_tiles_pallas_fused(
+    fields_ext: Array,
+    pg_padded: Array,
+    starts: Array,
+    counts: Array,
+    num_tiles_x: int,
+    num_tiles_y: int,
+    tile_size: int = 32,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """`composite_tiles_pallas` with the pair gather INSIDE the VJP
+    boundary: the backward kernel returns per-gaussian gradients directly
+    (the fields_ext cotangent), eliminating the (P, 16) row materialization
+    + XLA scatter-add of the pair-gather transpose (~2.6 ms at 512²/100k).
+
+    Args:
+      fields_ext: (N+1, NUM_FIELDS) per-gaussian field rows, row 0 zero,
+        column 9 = the row id (the kernel reads it from SMEM to route each
+        pair's gradient; `build_fields_ext` sets it up).
+      pg_padded: (P_pad,) int32 gathered-row ids, 0 on padding slots.
+    """
+    out, _ = _composite_fused_fwd(
+        fields_ext, pg_padded, starts, counts,
+        num_tiles_x, num_tiles_y, tile_size, interpret,
+    )
+    return out
+
+
+def _composite_fused_fwd(fields_ext, pg_padded, starts, counts, ntx, nty,
+                         tile_size, interpret):
+    if tile_size * tile_size != SUB * LANE:
+        raise ValueError("pallas backend requires tile_size == 32")
+    pair_rows = fields_ext[pg_padded]
+    packed = _forward_call(
+        pair_rows, starts, counts, ntx, nty, tile_size, interpret
+    )
+    pix = tile_size * tile_size
+    rgb = packed[:, :3].reshape(-1, 3, pix)
+    final_t = packed[:, 3].reshape(-1, pix)
+    cnt = jax.lax.stop_gradient(packed[:, 4].reshape(-1, pix))
+    return (rgb, final_t, cnt), (
+        pair_rows, starts, counts, packed, fields_ext.shape[0]
+    )
+
+
+def _composite_fused_bwd(ntx, nty, tile_size, interpret, residuals, cot):
+    pair_rows, starts, counts, packed, n_rows = residuals
+    drgb, dt, _dcnt = cot
+    num_t = starts.shape[0]
+    cot_pack = jnp.concatenate(
+        [
+            drgb.reshape(num_t, 3, SUB, LANE),
+            dt.reshape(num_t, 1, SUB, LANE),
+        ],
+        axis=1,
+    )
+    dfields = _backward_call_fused(
+        pair_rows, starts, counts, packed, cot_pack, n_rows, ntx, nty,
+        tile_size, interpret,
+    )
+    return dfields, None, None, None
+
+
+composite_tiles_pallas_fused.defvjp(_composite_fused_fwd, _composite_fused_bwd)

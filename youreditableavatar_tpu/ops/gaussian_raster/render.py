@@ -73,6 +73,25 @@ def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
 
     Returns (pair_rows (P_pad, NUM_FIELDS), aligned_starts (T,)).
     """
+    fields_ext, pg_padded, astart = build_pallas_pair_layout(
+        proj, binning, ntx, nty, pair_budget
+    )
+    # One row gather: indexed-op cost scales with the NUMBER of rows, and
+    # the VJP becomes one row scatter-add whose padding-slot garbage lands
+    # in the discarded zero row. (The fused path instead keeps this gather
+    # inside composite_tiles_pallas_fused's VJP boundary and its backward
+    # kernel returns per-gaussian grads directly.)
+    pair_rows = fields_ext[pg_padded]
+    return pair_rows, astart
+
+
+def build_pallas_pair_layout(proj, binning, ntx: int, nty: int,
+                             pair_budget: int):
+    """(fields_ext (N+1, 16), pg_padded (P_pad,), aligned_starts (T,)).
+
+    fields_ext column 9 holds the ROW ID (exact in f32 for N < 2^24) —
+    the fused backward kernel reads it per pair from SMEM to route that
+    pair's gradient into the per-gaussian accumulator."""
     from youreditableavatar_tpu.ops.gaussian_raster.binning import (
         pad_tile_ranges,
     )
@@ -82,12 +101,17 @@ def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
 
     padded_size = pair_budget + ntx * nty * CHUNK
     dst, astart, _total = pad_tile_ranges(binning, CHUNK, padded_size)
+    n = proj.opacity.shape[0]
+    row_id = jax.lax.stop_gradient(
+        jnp.arange(n, dtype=jnp.float32) + 1.0
+    )
     fields = jnp.stack(
         [
             proj.mean2d[:, 0], proj.mean2d[:, 1],
             proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
             proj.opacity,
             proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+            row_id,
         ],
         axis=1,
     )
@@ -95,15 +119,11 @@ def build_pallas_pair_rows(proj, binning, ntx: int, nty: int, pair_budget: int):
     # zero row 0) BEFORE the P-sized gather: the pad is an N-row pass and
     # the gather then emits kernel-ready (P_pad, 16) rows directly — padding
     # the gathered result instead measured ~0.5 ms of extra P-row traffic.
-    fields_ext = jnp.pad(fields, ((1, 0), (0, NUM_FIELDS - 9)))
+    fields_ext = jnp.pad(fields, ((1, 0), (0, NUM_FIELDS - 10)))
     pg_padded = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
         binning.pair_gauss + 1, mode="drop"
     )
-    # One row gather: indexed-op cost scales with the NUMBER of rows, and
-    # the VJP becomes one row scatter-add whose padding-slot garbage lands
-    # in the discarded zero row.
-    pair_rows = fields_ext[pg_padded]
-    return pair_rows, astart
+    return fields_ext, pg_padded, astart
 
 
 def render_gaussians_checked(
@@ -211,14 +231,14 @@ def render_gaussians(
         )
     elif backend == "pallas":
         from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
-            composite_tiles_pallas,
+            composite_tiles_pallas_fused,
         )
 
-        pair_rows, astart = build_pallas_pair_rows(
+        fields_ext, pg_padded, astart = build_pallas_pair_layout(
             proj, binning, ntx, nty, cfg.pair_budget
         )
-        rgb_tiles, t_tiles, cnt_tiles = composite_tiles_pallas(
-            pair_rows, astart, binning.tile_count,
+        rgb_tiles, t_tiles, cnt_tiles = composite_tiles_pallas_fused(
+            fields_ext, pg_padded, astart, binning.tile_count,
             ntx, nty, ts, cfg.pallas_interpret,
         )
     else:

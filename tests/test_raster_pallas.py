@@ -222,3 +222,109 @@ class TestChunkBoundaryLayout:
         untouched = np.setdiff1d(np.arange(n), touched)
         assert np.abs(np.asarray(g2)[touched]).sum() > 0
         np.testing.assert_array_equal(np.asarray(g2)[untouched], 0.0)
+
+
+class TestCountingLayout:
+    """Sort-free counting-sort layout ≡ stable-sort + pad_tile_ranges.
+
+    The Pallas render path builds its padded pair layout with
+    `ops/gaussian_raster/counting.py` (histogram + rank kernels); these pin
+    bit-exact agreement with the reference sort-based formulation on random
+    expansions, including sentinel (culled) pairs, empty tiles, and
+    chunk-boundary counts.
+    """
+
+    def _layouts(self, tile, gauss, num_tiles, chunk, padded):
+        from youreditableavatar_tpu.ops.gaussian_raster.binning import (
+            TileBinning,
+            pad_tile_ranges,
+        )
+        from youreditableavatar_tpu.ops.gaussian_raster.counting import (
+            counting_layout,
+        )
+
+        tile = jnp.asarray(tile, jnp.int32)
+        gauss = jnp.asarray(gauss, jnp.int32)
+        # Sort path (the layout bin_gaussians would produce).
+        tile_s, gauss_s = jax.lax.sort(
+            (tile, gauss), num_keys=1, is_stable=True)
+        ids = jnp.arange(num_tiles, dtype=jnp.int32)
+        ts = jnp.searchsorted(tile_s, ids, side="left").astype(jnp.int32)
+        te = jnp.searchsorted(tile_s, ids, side="right").astype(jnp.int32)
+        binning = TileBinning(
+            pair_gauss=gauss_s, pair_tile=tile_s, tile_start=ts,
+            tile_count=te - ts, num_pairs=jnp.sum(tile < num_tiles))
+        dst1, as1, _ = pad_tile_ranges(binning, chunk, padded)
+        pg1 = jnp.zeros((padded,), jnp.int32).at[dst1].set(
+            gauss_s + 1, mode="drop")
+        # Counting path (unsorted inputs).
+        dst2, as2, tc2 = counting_layout(tile, num_tiles, chunk, padded)
+        pg2 = jnp.zeros((padded,), jnp.int32).at[dst2].set(
+            gauss + 1, mode="drop")
+        return pg1, as1, binning.tile_count, pg2, as2, tc2
+
+    def test_counting_layout_matches_sort(self):
+        rng = np.random.default_rng(3)
+        num_tiles, chunk = 24, 128
+        p = 4096
+        padded = p + num_tiles * chunk
+        # Random tiles incl. sentinel (=num_tiles) culled pairs; some tiles
+        # empty (never drawn), one tile exactly at a chunk boundary.
+        tile = rng.integers(0, num_tiles + 1, p)
+        tile[tile == 5] = 6  # force an empty tile
+        boundary = np.where(tile == 7)[0]
+        tile[boundary[chunk:]] = num_tiles  # tile 7 has exactly `chunk` pairs
+        if len(boundary) < chunk:
+            tile[: chunk - len(boundary)] = 7
+        gauss = rng.integers(0, 997, p)
+        pg1, as1, tc1, pg2, as2, tc2 = self._layouts(
+            tile, gauss, num_tiles, chunk, padded)
+        np.testing.assert_array_equal(np.asarray(pg1), np.asarray(pg2))
+        np.testing.assert_array_equal(np.asarray(as1), np.asarray(as2))
+        np.testing.assert_array_equal(np.asarray(tc1), np.asarray(tc2))
+
+    def test_counting_layout_all_sentinel(self):
+        from youreditableavatar_tpu.ops.gaussian_raster.counting import (
+            counting_layout,
+        )
+        p, num_tiles, chunk = 1024, 8, 128
+        padded = p + num_tiles * chunk
+        tile = jnp.full((p,), num_tiles, jnp.int32)
+        dst, astart, tc = counting_layout(tile, num_tiles, chunk, padded)
+        assert bool((dst >= padded).all())
+        np.testing.assert_array_equal(np.asarray(tc), 0)
+        np.testing.assert_array_equal(np.asarray(astart), 0)
+
+    def test_counting_matches_scene_expansion(self):
+        """End-to-end: expansion from a real projected scene."""
+        from youreditableavatar_tpu.ops.gaussian_raster.binning import (
+            bin_gaussians, expand_pairs)
+        from youreditableavatar_tpu.ops.gaussian_raster.preprocess import (
+            preprocess_gaussians,
+        )
+        from youreditableavatar_tpu.ops.gaussian_raster.render import (
+            build_pallas_pair_layout,
+            build_pallas_pair_layout_counting,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 400
+        cam = _cams()
+        proj = preprocess_gaussians(
+            jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32),
+            jnp.asarray(rng.uniform(0.01, 0.08, (n, 3)), jnp.float32),
+            jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+            jnp.asarray(rng.uniform(0.2, 0.95, n), jnp.float32),
+            jnp.zeros((n, 1, 3), jnp.float32),
+            cam, 0, 32)
+        ntx, nty, p = 3, 2, 2048
+        binning = bin_gaussians(proj, ntx, nty, p, 32)
+        fe1, pg1, as1 = build_pallas_pair_layout(proj, binning, ntx, nty, p)
+        fe2, pg2, as2, tc2, np2 = build_pallas_pair_layout_counting(
+            proj, ntx, nty, p, 32)
+        np.testing.assert_array_equal(np.asarray(pg1), np.asarray(pg2))
+        np.testing.assert_array_equal(np.asarray(as1), np.asarray(as2))
+        np.testing.assert_array_equal(
+            np.asarray(binning.tile_count), np.asarray(tc2))
+        assert int(binning.num_pairs) == int(np2)
+        np.testing.assert_array_equal(np.asarray(fe1), np.asarray(fe2))

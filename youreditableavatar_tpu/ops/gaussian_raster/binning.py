@@ -30,20 +30,25 @@ from youreditableavatar_tpu.ops.gaussian_raster.types import (
 from youreditableavatar_tpu.ops.segments import range_owner
 
 
-def bin_gaussians(
+def expand_pairs(
     proj: GaussiansProjected,
     num_tiles_x: int,
     num_tiles_y: int,
     pair_budget: int,
     tile_size: int = 32,
-) -> TileBinning:
-    """Build depth-sorted per-tile pair lists with a static pair budget.
+):
+    """Depth-ordered (tile, gaussian) pair expansion with exact culling.
 
-    Sort strategy (replaces the CUDA 64-bit (tileID‖depth) radix sort with two
-    cheaper passes): (1) depth-argsort the N gaussians once; (2) expand pairs
-    in depth order, then a *stable* single-key sort by tile id — stability
-    preserves the depth order within each tile, so the result is exactly
-    (tile, depth, gaussian-depth-rank) ordered at ~half the key width.
+    Returns (tile, gauss, total): (P,) tile id per pair slot (sentinel
+    `num_tiles` marks culled/out-of-budget slots), (P,) original gaussian
+    index, and the pre-cull pair total (the overflow diagnostic — when it
+    exceeds `pair_budget` the expansion was truncated).
+
+    Strategy (replaces the CUDA 64-bit (tileID‖depth) radix sort's key
+    construction, `rasterizer_impl.cu:262-319`): depth-argsort the N
+    gaussians once, then expand pairs in depth order — downstream layouts
+    (stable tile sort or counting sort) then only need tile-stable
+    ordering to recover (tile, depth) order.
 
     Pairs whose tile cannot contain any pixel with α ≥ 1/255 are culled
     exactly (see the ellipse–rect test below): the support bbox that defines
@@ -146,6 +151,29 @@ def bin_gaussians(
     inside = (x0 <= 0.0) & (x1 >= 0.0) & (y0 <= 0.0) & (y1 >= 0.0)
     keep = inside | (m_edges <= pair_two_l)
     tile = jnp.where(valid & keep, tile, sentinel)
+    return tile, g_safe, total
+
+
+def bin_gaussians(
+    proj: GaussiansProjected,
+    num_tiles_x: int,
+    num_tiles_y: int,
+    pair_budget: int,
+    tile_size: int = 32,
+) -> TileBinning:
+    """Depth-sorted per-tile pair lists: expansion + stable tile sort.
+
+    The *stable* single-key sort by tile id preserves the expansion's depth
+    order within each tile, so the result is exactly (tile, depth,
+    gaussian-depth-rank) ordered at ~half the CUDA radix key's width. The
+    Pallas render path skips this sort entirely (`counting.counting_layout`
+    computes padded destinations straight from the unsorted expansion);
+    this remains the XLA backend's and the tile-sharded step's layout.
+    """
+    num_tiles = num_tiles_x * num_tiles_y
+    tile, g_safe, total = expand_pairs(
+        proj, num_tiles_x, num_tiles_y, pair_budget, tile_size
+    )
 
     # (2) Stable tile sort keeps depth order within each tile.
     tile_s, gauss_s = jax.lax.sort(

@@ -101,6 +101,14 @@ def build_pallas_pair_layout(proj, binning, ntx: int, nty: int,
 
     padded_size = pair_budget + ntx * nty * CHUNK
     dst, astart, _total = pad_tile_ranges(binning, CHUNK, padded_size)
+    fields_ext = _build_fields_ext(proj)
+    pg_padded = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
+        binning.pair_gauss + 1, mode="drop"
+    )
+    return fields_ext, pg_padded, astart
+
+
+def _build_fields_ext(proj):
     n = proj.opacity.shape[0]
     row_id = jax.lax.stop_gradient(
         jnp.arange(n, dtype=jnp.float32) + 1.0
@@ -119,11 +127,44 @@ def build_pallas_pair_layout(proj, binning, ntx: int, nty: int,
     # zero row 0) BEFORE the P-sized gather: the pad is an N-row pass and
     # the gather then emits kernel-ready (P_pad, 16) rows directly — padding
     # the gathered result instead measured ~0.5 ms of extra P-row traffic.
-    fields_ext = jnp.pad(fields, ((1, 0), (0, NUM_FIELDS - 10)))
-    pg_padded = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
-        binning.pair_gauss + 1, mode="drop"
+    return jnp.pad(fields, ((1, 0), (0, NUM_FIELDS - 10)))
+
+
+def build_pallas_pair_layout_counting(proj, ntx: int, nty: int,
+                                      pair_budget: int, tile_size: int,
+                                      interpret: bool = False):
+    """Sort-free Pallas pair layout via the counting-sort kernels.
+
+    Same products as `bin_gaussians` + `build_pallas_pair_layout` —
+    bit-identical pg_padded/aligned starts (pinned by
+    `test_raster_pallas.py::test_counting_layout_matches_sort`) — but the
+    stable tile sort, the searchsorted range scan, and the scatter+cummax
+    chunk alignment are all replaced by two O(P) Pallas passes
+    (`ops/gaussian_raster/counting.py`).
+
+    Returns (fields_ext, pg_padded, astart, tile_count, num_pairs).
+    """
+    from youreditableavatar_tpu.ops.gaussian_raster.binning import (
+        expand_pairs,
     )
-    return fields_ext, pg_padded, astart
+    from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
+        CHUNK,
+    )
+    from youreditableavatar_tpu.ops.gaussian_raster.counting import (
+        counting_layout,
+    )
+
+    padded_size = pair_budget + ntx * nty * CHUNK
+    tile, gauss, total = expand_pairs(
+        proj, ntx, nty, pair_budget, tile_size
+    )
+    dst, astart, tile_count = counting_layout(
+        tile, ntx * nty, CHUNK, padded_size, interpret
+    )
+    pg_padded = jnp.zeros((padded_size,), jnp.int32).at[dst].set(
+        gauss + 1, mode="drop"
+    )
+    return _build_fields_ext(proj), pg_padded, astart, tile_count, total
 
 
 def render_gaussians_checked(
@@ -210,16 +251,11 @@ def render_gaussians(
         rect_mode=cfg.rect_mode,
     )
 
-    binning = bin_gaussians(proj, ntx, nty, cfg.pair_budget, ts)
-    # Binning is index bookkeeping — no gradients flow through it.
-    binning = jax.tree_util.tree_map(jax.lax.stop_gradient, binning)
-
     backend = _resolve_backend(cfg.backend)
-    # Tiles whose pair list exceeds tile_capacity lose their deepest pairs
-    # in the XLA backend (the Pallas path has no cap) — surface the count so
-    # callers can detect truncation and raise the capacity.
-    tile_overflow = jnp.sum(binning.tile_count > cfg.tile_capacity)
     if backend == "xla":
+        binning = bin_gaussians(proj, ntx, nty, cfg.pair_budget, ts)
+        # Binning is index bookkeeping — no gradients flow through it.
+        binning = jax.tree_util.tree_map(jax.lax.stop_gradient, binning)
         pair_data = gather_pair_data(
             proj.mean2d, proj.conic, proj.color, proj.opacity,
             binning.pair_gauss, binning.tile_start,
@@ -229,20 +265,44 @@ def render_gaussians(
         rgb_tiles, t_tiles, cnt_tiles = composite_tiles_xla(
             pair_data, ntx, nty, ts, cfg.chunk
         )
+        tile_count = binning.tile_count
+        num_pairs = binning.num_pairs
     elif backend == "pallas":
         from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
             composite_tiles_pallas_fused,
         )
-
-        fields_ext, pg_padded, astart = build_pallas_pair_layout(
-            proj, binning, ntx, nty, cfg.pair_budget
+        from youreditableavatar_tpu.ops.gaussian_raster.counting import (
+            MAX_BINS,
         )
+
+        if ntx * nty <= MAX_BINS and cfg.pair_budget % 1024 == 0:
+            # Sort-free counting-sort layout (ops/gaussian_raster/counting.py).
+            fields_ext, pg_padded, astart, tile_count, num_pairs = (
+                build_pallas_pair_layout_counting(
+                    proj, ntx, nty, cfg.pair_budget, ts,
+                    cfg.pallas_interpret,
+                )
+            )
+        else:
+            binning = bin_gaussians(proj, ntx, nty, cfg.pair_budget, ts)
+            binning = jax.tree_util.tree_map(
+                jax.lax.stop_gradient, binning
+            )
+            fields_ext, pg_padded, astart = build_pallas_pair_layout(
+                proj, binning, ntx, nty, cfg.pair_budget
+            )
+            tile_count = binning.tile_count
+            num_pairs = binning.num_pairs
         rgb_tiles, t_tiles, cnt_tiles = composite_tiles_pallas_fused(
-            fields_ext, pg_padded, astart, binning.tile_count,
+            fields_ext, pg_padded, astart, tile_count,
             ntx, nty, ts, cfg.pallas_interpret,
         )
     else:
         raise ValueError(f"unknown rasterizer backend {backend!r}")
+    # Tiles whose pair list exceeds tile_capacity lose their deepest pairs
+    # in the XLA backend (the Pallas path has no cap) — surface the count so
+    # callers can detect truncation and raise the capacity.
+    tile_overflow = jnp.sum(tile_count > cfg.tile_capacity)
 
     rgb, final_t = assemble_image(
         rgb_tiles, t_tiles, ntx, nty, ts, camera.width, camera.height
@@ -263,7 +323,7 @@ def render_gaussians(
         "radii": proj.radius,
         "mean2d": proj.mean2d,
         "depth": proj.depth,
-        "num_pairs": binning.num_pairs,
+        "num_pairs": num_pairs,
         # () int32: tiles truncated by tile_capacity (xla backend only;
         # always report so the diagnostic is backend-independent).
         "num_tile_overflow": tile_overflow,

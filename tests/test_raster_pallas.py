@@ -328,3 +328,67 @@ class TestCountingLayout:
             np.asarray(binning.tile_count), np.asarray(tc2))
         assert int(binning.num_pairs) == int(np2)
         np.testing.assert_array_equal(np.asarray(fe1), np.asarray(fe2))
+
+
+class TestExpandPallas:
+    """Windowed Pallas pair expansion ≡ XLA expand_pairs (bit-exact)."""
+
+    def _scene_proj(self, n, seed, w=96, h=64):
+        from youreditableavatar_tpu.ops.gaussian_raster.preprocess import (
+            preprocess_gaussians,
+        )
+        rng = np.random.default_rng(seed)
+        vm = np.eye(4, dtype=np.float32)
+        vm[2, 3] = 3.0
+        cam = RasterCamera.from_fov(vm, 0.8, 0.6, w, h)
+        return preprocess_gaussians(
+            jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32),
+            jnp.asarray(rng.uniform(0.01, 0.1, (n, 3)), jnp.float32),
+            jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+            jnp.asarray(rng.uniform(0.2, 0.95, n), jnp.float32),
+            jnp.zeros((n, 1, 3), jnp.float32),
+            cam, 0, 32), cam
+
+    @pytest.mark.parametrize("n,budget", [(300, 2048), (2500, 8192)])
+    def test_expand_matches_xla(self, n, budget):
+        from youreditableavatar_tpu.ops.gaussian_raster.binning import (
+            expand_pairs, pack_depth_ordered)
+        from youreditableavatar_tpu.ops.gaussian_raster.expand_pallas import (
+            expand_pairs_pallas,
+        )
+        proj, cam = self._scene_proj(n, seed=n)
+        ntx, nty = 3, 2
+        t1, g1, tot1 = expand_pairs(proj, ntx, nty, budget, 32)
+        t2, g2, tot2 = expand_pairs_pallas(
+            pack_depth_ordered(proj), budget, ntx, nty, 32, interpret=True)
+        t1n, g1n, t2n, g2n = map(np.asarray, (t1, g1, t2, g2))
+        assert int(tot1) == int(tot2)
+        np.testing.assert_array_equal(t1n, t2n)
+        live = t1n < ntx * nty
+        np.testing.assert_array_equal(g1n[live], g2n[live])
+
+    def test_expand_empty_scene(self):
+        """All gaussians behind the camera -> every slot sentinel."""
+        from youreditableavatar_tpu.ops.gaussian_raster.binning import (
+            pack_depth_ordered)
+        from youreditableavatar_tpu.ops.gaussian_raster.expand_pallas import (
+            expand_pairs_pallas,
+        )
+        from youreditableavatar_tpu.ops.gaussian_raster.preprocess import (
+            preprocess_gaussians,
+        )
+        rng = np.random.default_rng(0)
+        n = 64
+        vm = np.eye(4, dtype=np.float32)
+        vm[2, 3] = -5.0  # camera behind the cloud
+        cam = RasterCamera.from_fov(vm, 0.8, 0.6, 96, 64)
+        proj = preprocess_gaussians(
+            jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32),
+            jnp.asarray(rng.uniform(0.01, 0.1, (n, 3)), jnp.float32),
+            jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+            jnp.asarray(rng.uniform(0.2, 0.95, n), jnp.float32),
+            jnp.zeros((n, 1, 3), jnp.float32), cam, 0, 32)
+        tile, gauss, total = expand_pairs_pallas(
+            pack_depth_ordered(proj), 1024, 3, 2, 32, interpret=True)
+        assert int(total) == 0
+        np.testing.assert_array_equal(np.asarray(tile), 6)

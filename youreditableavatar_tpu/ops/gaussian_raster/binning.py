@@ -29,6 +29,66 @@ from youreditableavatar_tpu.ops.gaussian_raster.types import (
 )
 from youreditableavatar_tpu.ops.segments import range_owner
 
+# Pair-expansion table column layout (shared with the Pallas expansion
+# kernel, ops/gaussian_raster/expand_pallas.py): 0 = tiles_touched,
+# 1-2 = rect_min x/y, 3 = rect width, 4 = original gaussian index,
+# 5-6 = mean2d, 7-9 = conic, 10 = 2·ln(255·op), 11-15 = padding.
+PACK_COLS = 16
+
+
+def pack_depth_ordered(proj: GaussiansProjected):
+    """(N, 16) f32 pair-expansion table, depth-ordered, zero-pair rows last.
+
+    Depth order over gaussians via a single-key sort on an order-preserving
+    int view of the f32 depth + stable payload — a 2-key lexicographic
+    lax.sort costs several times more comparator passes for the same
+    deterministic (depth, index) order. Under lax.sort's *signed* int32
+    comparison the correct view keeps negative floats negative with
+    reversed order: flip all bits except the sign bit (bits ^ 0x7FFFFFFF);
+    positive floats are already ordered.
+
+    Gaussians with tiles_touched == 0 get the supremum key 0x7FFFFFFF
+    (strictly above every finite/NaN float view) and sort to the TAIL:
+    they emit no pairs, so the pair stream is unchanged, and the live
+    prefix then owns ≥ 1 pair per row — the contiguous-window property
+    `expand_pallas` builds on.
+
+    Pack everything the pair expansion reads into ONE depth-ordered row
+    matrix: many separate 1-D gathers lower to slow serialized TPU
+    fusions, one multi-column row gather takes the fast path. All columns
+    are f32 (ints here are < 2^24, exactly representable).
+    """
+    n = proj.depth.shape[0]
+    bits = jax.lax.bitcast_convert_type(proj.depth, jnp.int32)
+    depth_key = jnp.where(bits < 0, bits ^ jnp.int32(0x7FFFFFFF), bits)
+    depth_key = jnp.where(
+        proj.tiles_touched > 0, depth_key, jnp.int32(0x7FFFFFFF)
+    )
+    _, order = jax.lax.sort(
+        (depth_key, jnp.arange(n, dtype=jnp.int32)),
+        num_keys=1, is_stable=True,
+    )
+    two_l = 2.0 * jnp.log(jnp.maximum(255.0 * proj.opacity, 1e-6))
+    packed = jnp.stack(
+        [
+            proj.tiles_touched.astype(jnp.float32),
+            proj.rect_min[:, 0].astype(jnp.float32),
+            proj.rect_min[:, 1].astype(jnp.float32),
+            jnp.maximum(
+                proj.rect_max[:, 0] - proj.rect_min[:, 0], 1
+            ).astype(jnp.float32),
+            jnp.arange(n, dtype=jnp.int32).astype(jnp.float32),
+            proj.mean2d[:, 0],
+            proj.mean2d[:, 1],
+            proj.conic[:, 0],
+            proj.conic[:, 1],
+            proj.conic[:, 2],
+            two_l,
+        ],
+        axis=1,
+    )[order]  # (N, 11) in depth order
+    return jnp.pad(packed, ((0, 0), (0, PACK_COLS - packed.shape[1])))
+
 
 def expand_pairs(
     proj: GaussiansProjected,
@@ -57,49 +117,9 @@ def expand_pairs(
     changes neither image nor gradients while every downstream P-sized pass
     (scatter, gather, kernels) shrinks with the pair count.
     """
-    n = proj.depth.shape[0]
+    packed = pack_depth_ordered(proj)
     num_tiles = num_tiles_x * num_tiles_y
     sentinel = num_tiles
-
-    # (1) Depth order over gaussians (invalid ones have tiles_touched == 0 and
-    # drop out of the expansion regardless of their position). Single-key
-    # sort on an order-preserving int view of the f32 depth + stable
-    # payload — a 2-key lexicographic lax.sort costs several times more
-    # comparator passes for the same deterministic (depth, index) order.
-    # Under lax.sort's *signed* int32 comparison the correct view keeps
-    # negative floats negative with reversed order: flip all bits except the
-    # sign bit (bits ^ 0x7FFFFFFF); positive floats are already ordered.
-    bits = jax.lax.bitcast_convert_type(proj.depth, jnp.int32)
-    depth_key = jnp.where(bits < 0, bits ^ jnp.int32(0x7FFFFFFF), bits)
-    _, order = jax.lax.sort(
-        (depth_key, jnp.arange(n, dtype=jnp.int32)),
-        num_keys=1, is_stable=True,
-    )
-
-    # Pack everything the pair expansion reads into ONE depth-ordered row
-    # matrix: many separate 1-D gathers lower to slow serialized TPU fusions,
-    # one multi-column row gather takes the fast path. All columns are f32
-    # (ints here are < 2^24, exactly representable).
-    two_l = 2.0 * jnp.log(jnp.maximum(255.0 * proj.opacity, 1e-6))
-    packed = jnp.stack(
-        [
-            proj.tiles_touched.astype(jnp.float32),
-            proj.rect_min[:, 0].astype(jnp.float32),
-            proj.rect_min[:, 1].astype(jnp.float32),
-            jnp.maximum(
-                proj.rect_max[:, 0] - proj.rect_min[:, 0], 1
-            ).astype(jnp.float32),
-            jnp.arange(n, dtype=jnp.int32).astype(jnp.float32),
-            proj.mean2d[:, 0],
-            proj.mean2d[:, 1],
-            proj.conic[:, 0],
-            proj.conic[:, 1],
-            proj.conic[:, 2],
-            two_l,
-        ],
-        axis=1,
-    )[order]  # (N, 11) in depth order
-
     counts = packed[:, 0].astype(jnp.int32)
     total = jnp.sum(counts)
 

@@ -144,8 +144,11 @@ def build_pallas_pair_layout_counting(proj, ntx: int, nty: int,
 
     Returns (fields_ext, pg_padded, astart, tile_count, num_pairs).
     """
+    import os
+
     from youreditableavatar_tpu.ops.gaussian_raster.binning import (
         expand_pairs,
+        pack_depth_ordered,
     )
     from youreditableavatar_tpu.ops.gaussian_raster.composite_pallas import (
         CHUNK,
@@ -153,11 +156,22 @@ def build_pallas_pair_layout_counting(proj, ntx: int, nty: int,
     from youreditableavatar_tpu.ops.gaussian_raster.counting import (
         counting_layout,
     )
+    from youreditableavatar_tpu.ops.gaussian_raster.expand_pallas import (
+        BLK as EXPAND_BLK,
+        expand_pairs_pallas,
+    )
 
     padded_size = pair_budget + ntx * nty * CHUNK
-    tile, gauss, total = expand_pairs(
-        proj, ntx, nty, pair_budget, tile_size
-    )
+    if (pair_budget % EXPAND_BLK == 0
+            and os.environ.get("YEA_EXPAND", "pallas") != "xla"):
+        packed = jax.lax.stop_gradient(pack_depth_ordered(proj))
+        tile, gauss, total = expand_pairs_pallas(
+            packed, pair_budget, ntx, nty, tile_size, interpret
+        )
+    else:
+        tile, gauss, total = expand_pairs(
+            proj, ntx, nty, pair_budget, tile_size
+        )
     dst, astart, tile_count = counting_layout(
         tile, ntx * nty, CHUNK, padded_size, interpret
     )

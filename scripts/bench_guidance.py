@@ -103,12 +103,15 @@ def main():
     print(f"[{time.strftime('%H:%M:%S')}] UNet fwd (B=2, 64² latents), "
           "stage-wise jits", file=sys.stderr, flush=True)
     # One jit around even the BARE 860M UNet exceeds the remote-compile
-    # tunnel (broken pipe ~35 min in, r4 and r5 both). The stages of
-    # apply_unet compile separately in minutes; the sum over stages equals
-    # the full forward up to XLA fusion across stage boundaries (stage
-    # seams are single (B, h, w, C) activations — negligible traffic).
+    # tunnel (broken pipe ~35 min in, r4 and r5 both), and the whole down
+    # path in one jit trips its upload cap (HTTP 413, r5). PER-LEVEL jits
+    # (conv_in+temb, 4 down levels, mid, 4 up levels, out) compile in
+    # minutes; the sum over stages equals the full forward up to XLA
+    # fusion across stage boundaries (stage seams are single (B, h, w, C)
+    # activations — negligible traffic).
     from youreditableavatar_tpu.guidance.sd_unet import (
-        apply_unet_down,
+        apply_unet_conv_in,
+        apply_unet_down_level,
         apply_unet_mid,
         apply_unet_out,
         apply_unet_up_level,
@@ -119,9 +122,6 @@ def main():
     ctx = jnp.zeros((2, 77, 768), jnp.bfloat16)
     up = prior.unet_params
 
-    down_f = jax.jit(
-        lambda z, t, c: apply_unet_down(up, z, t, c, SD15_UNET))
-    h, skips, temb = jax.block_until_ready(down_f(zz, tt, ctx))
     def bump(x, out):
         """Content-changing scalar nudge (axon dedupes identical runs)."""
         lead = jax.tree_util.tree_leaves(out)[0]
@@ -129,12 +129,28 @@ def main():
             1e-6, x.dtype)
 
     ms_parts = {}
-    ms_parts["down"] = time_it(
-        down_f, (zz, tt, ctx),
-        perturb=lambda out, a: (bump(a[0], out), a[1], a[2]),
+    cin_f = jax.jit(lambda z, t: apply_unet_conv_in(up, z, t, SD15_UNET))
+    ms_parts["conv_in"] = time_it(
+        cin_f, (zz, tt),
+        perturb=lambda out, a: (bump(a[0], out), a[1]),
     )
-    print(f"[{time.strftime('%H:%M:%S')}] down {ms_parts['down']:.1f} ms",
-          file=sys.stderr, flush=True)
+    print(f"[{time.strftime('%H:%M:%S')}] conv_in "
+          f"{ms_parts['conv_in']:.1f} ms", file=sys.stderr, flush=True)
+    h, temb = cin_f(zz, tt)
+    skips = [h]
+    for lvl in range(len(up["down"])):
+        dl_f = jax.jit(
+            lambda h, e, c, lvl=lvl: apply_unet_down_level(
+                up, lvl, h, e, c, SD15_UNET))
+        ms_parts[f"down{lvl}"] = time_it(
+            dl_f, (h, temb, ctx),
+            perturb=lambda out, a: (bump(a[0], out), a[1], a[2]),
+        )
+        print(f"[{time.strftime('%H:%M:%S')}] down{lvl} "
+              f"{ms_parts[f'down{lvl}']:.1f} ms", file=sys.stderr,
+              flush=True)
+        h, lvl_skips = dl_f(h, temb, ctx)
+        skips.extend(lvl_skips)
 
     mid_f = jax.jit(lambda h, e, c: apply_unet_mid(up, h, e, c, SD15_UNET))
     ms_parts["mid"] = time_it(

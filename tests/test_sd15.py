@@ -291,3 +291,54 @@ class TestSD15Prior:
         img = tiny_prior.decode_latents(z)
         assert img.shape == (1, 16, 16, 3)
         assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+
+
+class TestUNetStageSplit:
+    """Per-level stage functions reproduce apply_unet exactly.
+
+    The remote-compile tunnel cannot build the full (or even the whole
+    down-path) UNet in one jit (broken pipe / HTTP 413), so
+    scripts/bench_guidance.py times conv_in + per-level down + mid +
+    per-level up + out in separate jits; this pins that the composition
+    is the same function.
+    """
+
+    def test_stagewise_matches_apply_unet(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from youreditableavatar_tpu.guidance.sd_unet import (
+            TEST_UNET,
+            apply_unet,
+            apply_unet_conv_in,
+            apply_unet_down_level,
+            apply_unet_mid,
+            apply_unet_out,
+            apply_unet_up_level,
+            init_unet_params,
+        )
+
+        key = jax.random.PRNGKey(3)
+        params = init_unet_params(key, TEST_UNET)
+        z = jax.random.normal(key, (1, 16, 16, TEST_UNET.in_channels))
+        t = jnp.array([7])
+        ctx = jax.random.normal(key, (1, 8, TEST_UNET.ctx_dim))
+
+        ref = apply_unet(params, z, t, ctx, TEST_UNET)
+
+        h, temb = apply_unet_conv_in(params, z, t, TEST_UNET)
+        skips = [h]
+        for lvl in range(len(params["down"])):
+            h, lvl_skips = apply_unet_down_level(
+                params, lvl, h, temb, ctx, TEST_UNET)
+            skips.extend(lvl_skips)
+        h = apply_unet_mid(params, h, temb, ctx, TEST_UNET)
+        rest = list(skips)
+        for i in range(len(params["up"])):
+            k = len(params["up"][i]["resnets"])
+            sk = tuple(rest[-k:])
+            del rest[-k:]
+            h = apply_unet_up_level(params, i, h, sk, temb, ctx, TEST_UNET)
+        out = apply_unet_out(params, h, TEST_UNET)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(out), atol=1e-6)

@@ -249,6 +249,34 @@ def apply_unet_down(params, z, t, ctx, cfg, add_cond=None):
     return h, skips, temb
 
 
+def apply_unet_conv_in(params, z, t, cfg, add_cond=None):
+    """Time embedding + conv_in only (finest-grained stage split: the
+    remote-compile tunnel rejects even the whole down path in one jit —
+    HTTP 413 / broken pipe; see scripts/bench_guidance.py)."""
+    temb = unet_time_embedding(params, t, cfg, add_cond)
+    h = conv2d(z, params["conv_in"])
+    return h, temb
+
+
+def apply_unet_down_level(params, lvl, h, temb, ctx, cfg):
+    """One down level: returns (h, skips emitted by this level)."""
+    chans = [cfg.base * m for m in cfg.mults]
+    level = params["down"][lvl]
+    skips = []
+    for j, res in enumerate(level["resnets"]):
+        h = resnet_block(h, temb, res, cfg.groups)
+        if level["attns"]:
+            h = spatial_transformer(
+                h, ctx, level["attns"][j], cfg.heads(chans[lvl]),
+                cfg.groups,
+            )
+        skips.append(h)
+    if "down" in level:
+        h = conv2d(h, level["down"], stride=2, padding=((1, 1), (1, 1)))
+        skips.append(h)
+    return h, skips
+
+
 def apply_unet_mid(params, h, temb, ctx, cfg):
     chans = [cfg.base * m for m in cfg.mults]
     mid = params["mid"]

@@ -709,14 +709,18 @@ def _backward_kernel_fused(
             raw = op * gauss
             dalpha = jnp.where(raw < ALPHA_CLAMP, dalpha, 0.0)
             dpower = dalpha * op * gauss
-            ca = _field(smem, slot, g, 2)
-            cb_c = _field(smem, slot, g, 3)
-            cc = _field(smem, slot, g, 4)
 
+            # RAW moment planes: unlike the per-pair backward (planes 0/1
+            # = conic-combined mean gradients), the fused path accumulates
+            # PER GAUSSIAN — and the conic is a per-gaussian constant — so
+            # the combination dmean = C·(Σdpdx, Σdpdy) moves to an N-sized
+            # XLA pass in `_composite_fused_bwd`, dropping 6 VPU ops and
+            # the 3 conic SMEM loads per pair-pixel from the kernel's
+            # inner loop (~14% of its op count).
             dpdx = dpower * dx
             dpdy = dpower * dy
-            pl_s[0, g] = ca * dpdx + cb_c * dpdy
-            pl_s[1, g] = cb_c * dpdx + cc * dpdy
+            pl_s[0, g] = dpdx
+            pl_s[1, g] = dpdy
             pl_s[2, g] = dpdx * dx
             pl_s[3, g] = dpdx * dy
             pl_s[4, g] = dpdy * dy
@@ -911,12 +915,13 @@ def _composite_fused_fwd(fields_ext, pg_padded, starts, counts, ntx, nty,
     final_t = packed[:, 3].reshape(-1, pix)
     cnt = jax.lax.stop_gradient(packed[:, 4].reshape(-1, pix))
     return (rgb, final_t, cnt), (
-        pair_rows, starts, counts, packed, fields_ext.shape[0]
+        pair_rows, starts, counts, packed, fields_ext
     )
 
 
 def _composite_fused_bwd(ntx, nty, tile_size, interpret, residuals, cot):
-    pair_rows, starts, counts, packed, n_rows = residuals
+    pair_rows, starts, counts, packed, fields_ext = residuals
+    n_rows = fields_ext.shape[0]
     drgb, dt, _dcnt = cot
     num_t = starts.shape[0]
     cot_pack = jnp.concatenate(
@@ -929,6 +934,19 @@ def _composite_fused_bwd(ntx, nty, tile_size, interpret, residuals, cot):
     dfields = _backward_call_fused(
         pair_rows, starts, counts, packed, cot_pack, n_rows, ntx, nty,
         tile_size, interpret,
+    )
+    # The kernel emits RAW mean-gradient moments (Σdpdx, Σdpdy) in columns
+    # 0/1; combine with the per-gaussian conic here (N-sized elementwise —
+    # the conic is constant across a gaussian's pairs, so this is exactly
+    # the CUDA kernel's per-pair dG_dmean chain, backward.cu:580-600,
+    # factored out of the pixel loop).
+    ca = fields_ext[:, 2:3]
+    cb = fields_ext[:, 3:4]
+    cc = fields_ext[:, 4:5]
+    m0 = dfields[:, 0:1]
+    m1 = dfields[:, 1:2]
+    dfields = jnp.concatenate(
+        [ca * m0 + cb * m1, cb * m0 + cc * m1, dfields[:, 2:]], axis=1
     )
     return dfields, None, None, None
 

@@ -34,24 +34,37 @@ from youreditableavatar_tpu.guidance import (
 HW = 512
 
 
-def time_guidance(guidance, cond, uncond, iters=10):
-    @jax.jit
-    def f(img, key):
-        def loss(im):
-            return guidance(im, cond, uncond, key, 20, 980)["loss_sds"]
+def time_guidance(guidance, cond, uncond, iters=10, reps=3):
+    """SDS value_and_grad, timed with the whole loop inside ONE jit (any
+    eager op between timed calls recompiles per call on this backend —
+    see time_it below)."""
 
-        return jax.value_and_grad(loss)(img)
+    @jax.jit
+    def loop(img, key):
+        def body(i, carry):
+            img, key = carry
+            k = jax.random.fold_in(key, i)
+
+            def loss(im):
+                return guidance(im, cond, uncond, k, 20, 980)["loss_sds"]
+
+            l, g = jax.value_and_grad(loss)(img)
+            return (img + 1e-30 * l + 1e-30 * g[:1, :1, :1], key)
+
+        img, key = jax.lax.fori_loop(0, iters, body, (img, key))
+        return img
 
     img = jnp.full((1, HW, HW, 3), 0.5, jnp.float32)
     key = jax.random.PRNGKey(0)
-    l, g = f(img, key)
-    jax.block_until_ready(g)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        l, g = f(img + 1e-30 * l, jax.random.fold_in(key, i))
-    jax.block_until_ready(g)
-    assert bool(jnp.isfinite(g).all())
-    return (time.perf_counter() - t0) / iters * 1e3
+    o = jax.block_until_ready(loop(img, key))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        o = loop(o, key)
+        jax.block_until_ready(o)
+        best = min(best, time.perf_counter() - t0)
+    assert bool(jnp.isfinite(o).all())
+    return best / iters * 1e3
 
 
 def main():
@@ -87,18 +100,38 @@ def main():
     from youreditableavatar_tpu.guidance.sd_unet import apply_unet
     from youreditableavatar_tpu.guidance.sd_vae import vae_encode
 
-    def time_it(f, args, iters=10, perturb=None):
-        """perturb(out, args) -> args MUST change input content every
-        iteration: the axon runtime dedupes content-identical executions,
-        so constant-args loops time the cache, not the chip."""
-        out = f(*args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for i in range(iters):
-            args = perturb(out, args)
-            out = f(*args)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters * 1e3
+    def time_it(fn, primary, extras=(), iters=10, reps=3):
+        """Time `fn(primary, *extras)` with the ENTIRE loop inside ONE jit.
+
+        Anything eager between timed calls is poison on this backend: a
+        profiler trace showed each eager perturbation op (even a scalar
+        multiply) recompiling per call (~430 ms of backend_compile), which
+        is what every prior per-call methodology here actually measured.
+        A fori_loop carry keeps all iterations on-device; the carry folds
+        a data-dependent nudge back into the primary input so XLA cannot
+        DCE or CSE iterations, and each dispatch's carry differs so the
+        runtime's content-dedupe cannot trigger across reps.
+        """
+
+        @jax.jit
+        def loop(x, *ex):
+            def body(i, x):
+                out = fn(x, *ex)
+                lead = jax.tree_util.tree_leaves(out)[0].ravel()[0]
+                one = jnp.asarray(1.0, x.dtype)
+                eps = jnp.asarray(1e-12, x.dtype)
+                return x * (one + lead.astype(x.dtype) * eps) \
+                    + (i % 2).astype(x.dtype) * eps
+            return jax.lax.fori_loop(0, iters, body, x)
+
+        o = jax.block_until_ready(loop(primary, *extras))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            o = loop(o, *extras)
+            jax.block_until_ready(o)
+            best = min(best, time.perf_counter() - t0)
+        return best / iters * 1e3
 
     print(f"[{time.strftime('%H:%M:%S')}] UNet fwd (B=2, 64² latents), "
           "stage-wise jits", file=sys.stderr, flush=True)
@@ -129,58 +162,84 @@ def main():
             1e-6, x.dtype)
 
     ms_parts = {}
-    cin_f = jax.jit(lambda z, t: apply_unet_conv_in(up, z, t, SD15_UNET))
-    ms_parts["conv_in"] = time_it(
-        cin_f, (zz, tt),
-        perturb=lambda out, a: (bump(a[0], out), a[1]),
+    # Params ship as ARGUMENTS packed into one flat buffer (closed-over
+    # device arrays embed as HLO constants -> the remote-compile request
+    # carries the weights: broken pipe / HTTP 413).
+
+    def pack_params(tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        specs = [(l.shape, l.dtype, l.size) for l in leaves]
+        flat = jnp.concatenate(
+            [l.astype(jnp.bfloat16).reshape(-1) for l in leaves])
+
+        def unpack(buf):
+            out, o = [], 0
+            for shape, dtype, size in specs:
+                out.append(
+                    jax.lax.dynamic_slice_in_dim(buf, o, size)
+                    .reshape(shape).astype(dtype))
+                o += size
+            return jax.tree_util.tree_unflatten(treedef, out)
+
+        return flat, unpack
+
+    up_flat, up_unpack = pack_params(up)
+
+    def stage(name, fn, primary, extras):
+        ms_parts[name] = time_it(fn, primary, extras)
+        print(f"[{time.strftime('%H:%M:%S')}] {name} "
+              f"{ms_parts[name]:.2f} ms", file=sys.stderr, flush=True)
+
+    stage(
+        "conv_in",
+        lambda z, p, t: apply_unet_conv_in(up_unpack(p), z, t, SD15_UNET),
+        zz, (up_flat, tt),
     )
-    print(f"[{time.strftime('%H:%M:%S')}] conv_in "
-          f"{ms_parts['conv_in']:.1f} ms", file=sys.stderr, flush=True)
-    h, temb = cin_f(zz, tt)
+    h, temb = jax.jit(
+        lambda p, z, t: apply_unet_conv_in(up_unpack(p), z, t, SD15_UNET)
+    )(up_flat, zz, tt)
     skips = [h]
     for lvl in range(len(up["down"])):
-        dl_f = jax.jit(
-            lambda h, e, c, lvl=lvl: apply_unet_down_level(
-                up, lvl, h, e, c, SD15_UNET))
-        ms_parts[f"down{lvl}"] = time_it(
-            dl_f, (h, temb, ctx),
-            perturb=lambda out, a: (bump(a[0], out), a[1], a[2]),
+        stage(
+            f"down{lvl}",
+            lambda h, p, e, c, lvl=lvl: apply_unet_down_level(
+                up_unpack(p), lvl, h, e, c, SD15_UNET),
+            h, (up_flat, temb, ctx),
         )
-        print(f"[{time.strftime('%H:%M:%S')}] down{lvl} "
-              f"{ms_parts[f'down{lvl}']:.1f} ms", file=sys.stderr,
-              flush=True)
-        h, lvl_skips = dl_f(h, temb, ctx)
+        h, lvl_skips = jax.jit(
+            lambda p, h, e, c, lvl=lvl: apply_unet_down_level(
+                up_unpack(p), lvl, h, e, c, SD15_UNET)
+        )(up_flat, h, temb, ctx)
         skips.extend(lvl_skips)
 
-    mid_f = jax.jit(lambda h, e, c: apply_unet_mid(up, h, e, c, SD15_UNET))
-    ms_parts["mid"] = time_it(
-        mid_f, (h, temb, ctx),
-        perturb=lambda out, a: (bump(a[0], out), a[1], a[2]),
+    stage(
+        "mid",
+        lambda h, p, e, c: apply_unet_mid(up_unpack(p), h, e, c, SD15_UNET),
+        h, (up_flat, temb, ctx),
     )
-    print(f"[{time.strftime('%H:%M:%S')}] mid {ms_parts['mid']:.1f} ms",
-          file=sys.stderr, flush=True)
-
-    hcur = mid_f(h, temb, ctx)
+    hcur = jax.jit(
+        lambda p, h, e, c: apply_unet_mid(up_unpack(p), h, e, c, SD15_UNET)
+    )(up_flat, h, temb, ctx)
     rest = list(skips)
     for i in range(len(up["up"])):
         k = len(up["up"][i]["resnets"])
         sk = tuple(rest[-k:])
         del rest[-k:]
-        lvl_f = jax.jit(
-            lambda h, s, e, c, i=i: apply_unet_up_level(
-                up, i, h, s, e, c, SD15_UNET))
-        ms_parts[f"up{i}"] = time_it(
-            lvl_f, (hcur, sk, temb, ctx),
-            perturb=lambda out, a: (bump(a[0], out), a[1], a[2], a[3]),
+        stage(
+            f"up{i}",
+            lambda h, p, s_, e, c, i=i: apply_unet_up_level(
+                up_unpack(p), i, h, s_, e, c, SD15_UNET),
+            hcur, (up_flat, sk, temb, ctx),
         )
-        print(f"[{time.strftime('%H:%M:%S')}] up{i} "
-              f"{ms_parts[f'up{i}']:.1f} ms", file=sys.stderr, flush=True)
-        hcur = lvl_f(hcur, sk, temb, ctx)
+        hcur = jax.jit(
+            lambda p, h, s_, e, c, i=i: apply_unet_up_level(
+                up_unpack(p), i, h, s_, e, c, SD15_UNET)
+        )(up_flat, hcur, sk, temb, ctx)
 
-    out_f = jax.jit(lambda h: apply_unet_out(up, h, SD15_UNET))
-    ms_parts["out"] = time_it(
-        out_f, (hcur,),
-        perturb=lambda out, a: (bump(a[0], out),),
+    stage(
+        "out",
+        lambda h, p: apply_unet_out(up_unpack(p), h, SD15_UNET),
+        hcur, (up_flat,),
     )
     ms_unet = sum(ms_parts.values())
     print(f"[{time.strftime('%H:%M:%S')}] unet {ms_unet:.1f} ms "
@@ -191,19 +250,15 @@ def main():
     img = jnp.full((1, HW, HW, 3), 0.5, jnp.float32)
     key = jax.random.PRNGKey(0)
 
-    def enc_loss(im, k):
-        z = vae_encode(
-            prior.vae_params, (im * 2 - 1).astype(jnp.bfloat16), k, SD_VAE
-        )
+    def enc_loss(im, vp, k):
+        z = vae_encode(vp, (im * 2 - 1).astype(jnp.bfloat16), k, SD_VAE)
         return jnp.sum(z.astype(jnp.float32) ** 2)
 
-    vae_g = jax.jit(jax.grad(enc_loss))
+    vp_flat, vp_unpack = pack_params(prior.vae_params)
+    vae_g = jax.grad(lambda im, vp, k: enc_loss(im, vp_unpack(vp), k))
     ms_vae = time_it(
-        vae_g, (img, key),
-        perturb=lambda out, a: (
-            a[0] + out * 1e-6, jax.random.fold_in(a[1], 1)),
-    )
-    print(f"[{time.strftime('%H:%M:%S')}] vae {ms_vae:.1f} ms",
+        lambda im, vp, k: vae_g(im, vp, k), img, (vp_flat, key))
+    print(f"[{time.strftime('%H:%M:%S')}] vae {ms_vae:.2f} ms",
           file=sys.stderr, flush=True)
 
     ms_full = ms_unet + ms_vae

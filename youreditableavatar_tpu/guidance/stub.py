@@ -51,15 +51,12 @@ class StubDiffusionPrior:
         x = jnp.concatenate(
             [z_t, jnp.broadcast_to(tt, z_t.shape[:-1] + (1,))], axis=-1
         )
-        x = jax.lax.conv_general_dilated(
-            x, self._w1, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        # sd_layers.conv2d (shifted-matmul taps): lax.conv is a measured
+        # ~800x slow path through this TPU backend (see sd_layers.conv2d).
+        from youreditableavatar_tpu.guidance.sd_layers import conv2d
+        x = conv2d(x, {"w": self._w1})
         x = jax.nn.gelu(x)
-        x = jax.lax.conv_general_dilated(
-            x, self._w2, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        x = conv2d(x, {"w": self._w2})
         cond_bias = jnp.mean(emb, axis=1) @ self._cond_proj  # (B, 4)
         return x + cond_bias[:, None, None, :]
 

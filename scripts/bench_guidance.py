@@ -49,7 +49,7 @@ def time_guidance(guidance, cond, uncond, iters=10, reps=3):
                 return guidance(im, cond, uncond, k, 20, 980)["loss_sds"]
 
             l, g = jax.value_and_grad(loss)(img)
-            return (img + 1e-30 * l + 1e-30 * g[:1, :1, :1], key)
+            return (img + 1e-30 * (l + jnp.sum(g)), key)
 
         img, key = jax.lax.fori_loop(0, iters, body, (img, key))
         return img
@@ -117,10 +117,17 @@ def main():
         def loop(x, *ex):
             def body(i, x):
                 out = fn(x, *ex)
-                lead = jax.tree_util.tree_leaves(out)[0].ravel()[0]
-                one = jnp.asarray(1.0, x.dtype)
+                # FULL-output reduction: depending on a single output
+                # element lets XLA dead-code-eliminate everything outside
+                # that element's dependency cone (measured: a 40-GFLOP
+                # stage "ran" in 0.01 ms). Summing every leaf forces the
+                # whole stage to execute; the sum is negligible next to it.
+                lead = sum(
+                    jnp.sum(l.astype(jnp.float32))
+                    for l in jax.tree_util.tree_leaves(out)
+                )
                 eps = jnp.asarray(1e-12, x.dtype)
-                return x * (one + lead.astype(x.dtype) * eps) \
+                return x + lead.astype(x.dtype) * eps \
                     + (i % 2).astype(x.dtype) * eps
             return jax.lax.fori_loop(0, iters, body, x)
 
